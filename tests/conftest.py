@@ -1,0 +1,21 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Must set platform flags before jax initializes its backends.
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: session env may point at TPU
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# XLA:CPU compiles are slow in this image; cache compiled executables on
+# disk so repeated test runs skip them.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,87 @@
+"""Port of the reference's VTK round-trip test
+(``/root/reference/tests/test_vtk.cu``): write then read positions,
+polarity, fields, and int/float properties."""
+import math
+
+import numpy as np
+
+from helpers import isclose
+from yalla_tpu import Property, Solution, make_pt
+from yalla_tpu.vtkio import Vtk_input, Vtk_output
+
+Po_cell4 = make_pt("Po_cell4", "w", "theta", "phi")
+rng = np.random.default_rng(42)
+
+
+def test_io(tmp_path):
+    n_cells = 100
+    out_dir = str(tmp_path) + "/"
+    w = Solution(Po_cell4, n_cells, solver="tile")
+    r = Solution(Po_cell4, n_cells, solver="tile")
+
+    w.h_X.x[:n_cells] = rng.random(n_cells)
+    w.h_X.y[:n_cells] = rng.random(n_cells)
+    w.h_X.z[:n_cells] = rng.random(n_cells)
+    w.h_X.w[:n_cells] = rng.random(n_cells)
+    w.h_X.phi[:n_cells] = rng.random(n_cells) * 2 * math.pi - math.pi
+    w.h_X.theta[:n_cells] = np.arccos(2 * rng.random(n_cells) - 1)
+    w.copy_to_device()
+
+    ints_w = Property(n_cells, "intprop", np.int32)
+    floats_w = Property(n_cells, "floatprop", np.float32)
+    ints_w.h_prop[:] = rng.integers(0, 2 ** 30, n_cells)
+    floats_w.h_prop[:] = rng.random(n_cells)
+
+    output = Vtk_output("test_vtk", out_dir, verbose=False)
+    output.write_positions(w)
+    output.write_polarity(w)
+    output.write_field(w, "w")
+    output.write_property(floats_w)
+    output.write_property(ints_w)
+
+    inp = Vtk_input(out_dir + "test_vtk_0.vtk")
+    inp.read_field(r, "w")
+    inp.read_polarity(r)
+    inp.read_positions(r)
+
+    assert isclose(w.h_X.x[:n_cells], r.h_X.x[:n_cells]), "Not close in x"
+    assert isclose(w.h_X.y[:n_cells], r.h_X.y[:n_cells]), "Not close in y"
+    assert isclose(w.h_X.z[:n_cells], r.h_X.z[:n_cells]), "Not close in z"
+    assert isclose(w.h_X.w[:n_cells], r.h_X.w[:n_cells]), "Not close in w"
+    assert isclose(w.h_X.phi[:n_cells], r.h_X.phi[:n_cells]), \
+        "Not close in phi"
+    assert isclose(w.h_X.theta[:n_cells], r.h_X.theta[:n_cells]), \
+        "Not close in theta"
+
+    ints_r = Property(n_cells, "intprop", np.int32)
+    floats_r = Property(n_cells, "floatprop", np.float32)
+    inp.read_property(ints_r, "intprop")
+    inp.read_property(floats_r, "floatprop")
+    assert np.array_equal(ints_w.h_prop, ints_r.h_prop), "Int property"
+    assert isclose(floats_w.h_prop, floats_r.h_prop), "Float property"
+
+
+def test_links_and_mask(tmp_path):
+    """LINES block + bool-mask filtering (ref vtk.cuh:99-104, 137-145;
+    examples/write_vtk_w_mask.cu)."""
+    from yalla_tpu import Float3
+    from yalla_tpu.links import Links
+    out_dir = str(tmp_path) + "/"
+    pts = Solution(Float3, 4, solver="tile")
+    pts.h_X.x[:4] = [0, 1, 2, 3]
+    pts.copy_to_device()
+    links = Links(2)
+    links.h_a[:2] = [0, 2]
+    links.h_b[:2] = [1, 3]
+    links.copy_to_device()
+
+    output = Vtk_output("masked", out_dir, verbose=False)
+    output.write_positions(pts)
+    output.write_links(links)
+    text = open(out_dir + "masked_0.vtk").read()
+    assert "LINES 2 6" in text
+
+    mask = np.array([True, False, True, True])
+    output.write_positions(pts, mask=mask)
+    text = open(out_dir + "masked_1.vtk").read()
+    assert "POINTS 3 float" in text

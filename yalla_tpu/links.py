@@ -1,0 +1,190 @@
+"""Links between points (protrusions) and solid walls.
+
+TPU-native rebuild of ``/root/reference/include/links.cuh``.  A link table
+is a fixed-capacity array of (a, b) index pairs with its own active count;
+``a == b`` marks an inactive link (ref links.cuh:121-122).  Forces are
+applied to both endpoints with scatter-add (``.at[].add``) -- the race-free
+equivalent of the reference's ``atomicAdd`` (links.cuh:105-110) -- and enter
+the solver through the ``GenericForce`` hook.
+
+Randomness for protrusion rewiring uses counter-based ``jax.random`` keys
+held by the ``Links`` object, replacing per-link ``curandState``
+(links.cuh:39-44); seeds are explicit for reproducibility.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dtypes import pt_zeros_like
+from .solvers import GenericForce
+
+__all__ = ["Links", "linear_force", "link_forces", "wall_forces",
+           "link_wall_forces", "xy_wall_relu_force"]
+
+
+def _pad(n):
+    return max(64, -(-int(n) // 64) * 64)
+
+
+class Links:
+    """Fixed-capacity link container (ref links.cuh:24-91)."""
+
+    def __init__(self, n_max, strength=1.0 / 5, seed=None):
+        self.n_max = int(n_max)
+        self.n_pad = _pad(self.n_max)
+        self.strength = float(strength)
+        self.h_a = np.zeros(self.n_pad, np.int32)
+        self.h_b = np.zeros(self.n_pad, np.int32)
+        self.h_n = self.n_max
+        self.d_a = jnp.zeros(self.n_pad, jnp.int32)
+        self.d_b = jnp.zeros(self.n_pad, jnp.int32)
+        self.d_n = jnp.int32(self.n_max)
+        if seed is None:
+            seed = int(np.random.SeedSequence().entropy % (2 ** 63))
+        self.key = jax.random.PRNGKey(seed)
+
+    def next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def set_d_n(self, n):
+        assert n <= self.n_max
+        self.d_n = jnp.int32(n)
+
+    def get_d_n(self):
+        n = int(self.d_n)
+        assert n <= self.n_max
+        return n
+
+    def copy_to_device(self):
+        assert self.h_n <= self.n_max
+        self.d_a = jnp.asarray(self.h_a)
+        self.d_b = jnp.asarray(self.h_b)
+        self.d_n = jnp.int32(self.h_n)
+
+    def copy_to_host(self):
+        self.h_a = np.asarray(self.d_a)
+        self.h_b = np.asarray(self.d_b)
+        self.h_n = int(self.d_n)
+        assert self.h_n <= self.n_max
+
+    def reset(self, check=None):
+        """Deactivate links for which ``check(a, b)`` is True (all by
+        default), ref links.cuh:66-76."""
+        self.copy_to_host()
+        if check is None:
+            self.h_a[:] = 0
+            self.h_b[:] = 0
+        else:
+            for i in range(self.n_max):
+                if check(int(self.h_a[i]), int(self.h_b[i])):
+                    self.h_a[i] = 0
+                    self.h_b[i] = 0
+        self.copy_to_device()
+
+    @property
+    def state(self):
+        return (self.d_a, self.d_b, self.d_n, jnp.float32(self.strength))
+
+
+def linear_force(Xa, Xb, r, dist, strength):
+    """Unit-vector spring of constant magnitude (ref links.cuh:99-111).
+    Returns (dFa, dFb)."""
+    safe = jnp.where(dist > 0, dist, 1.0)
+    fx = strength * r.x / safe
+    fy = strength * r.y / safe
+    fz = strength * r.z / safe
+    dFa = pt_zeros_like(Xa).replace(x=-fx, y=-fy, z=-fz)
+    dFb = pt_zeros_like(Xb).replace(x=fx, y=fy, z=fz)
+    return dFa, dFb
+
+
+@lru_cache(maxsize=None)
+def _link_gen_fn(force):
+    def fn(X, n_cells, args):
+        a, b, n_links, strength = args
+        m_pad = a.shape[0]
+        live = (jnp.arange(m_pad, dtype=jnp.int32) < n_links) & (a != b)
+        Xa = jax.tree.map(lambda f: f[a], X)
+        Xb = jax.tree.map(lambda f: f[b], X)
+        r = Xa - Xb
+        dist = jnp.sqrt(r.x * r.x + r.y * r.y + r.z * r.z)
+        dFa, dFb = force(Xa, Xb, r, dist, strength)
+        dX = pt_zeros_like(X)
+        upd = {}
+        for f in X._fields:
+            fa = jnp.where(live, jnp.broadcast_to(getattr(dFa, f), live.shape),
+                           0.0)
+            fb = jnp.where(live, jnp.broadcast_to(getattr(dFb, f), live.shape),
+                           0.0)
+            upd[f] = getattr(dX, f).at[a].add(fa).at[b].add(fb)
+        return dX.replace(**upd)
+    return fn
+
+
+def link_forces(links: Links, force=linear_force):
+    """GenericForce applying ``force`` over the link table
+    (ref links.cuh:128-140)."""
+    return GenericForce(fn=_link_gen_fn(force), args=links.state)
+
+
+# --------------------------------------------------------------------------
+# Walls (ref links.cuh:142-228): planes tracked by a "wall node" point.
+# --------------------------------------------------------------------------
+
+def xy_wall_relu_force(X, i, wall_idx):
+    """ReLU band force on point-to-plane distance for a wall normal to Z
+    (ref links.cuh:157-169).  Returns (F_z per point, interacting mask)."""
+    z_wall = X.z[wall_idx]
+    dist_wall = jnp.abs(X.z - z_wall)
+    interacting = (dist_wall < 1.0) & (i != wall_idx)
+    F = jnp.maximum(0.8 - dist_wall, 0) - jnp.maximum(dist_wall - 0.8, 0)
+    return jnp.where(interacting, F, 0.0), interacting
+
+
+@lru_cache(maxsize=None)
+def _wall_gen_fn(w_force, with_links, link_force):
+    def fn(X, n_cells, args):
+        if with_links:
+            link_args, wall_idx = args
+            dX = _link_gen_fn(link_force)(X, n_cells, link_args)
+        else:
+            wall_idx = args
+            dX = pt_zeros_like(X)
+        n_pad = X.x.shape[0]
+        i = jnp.arange(n_pad, dtype=jnp.int32)
+        active = i < n_cells
+        F, interacting = w_force(X, i, wall_idx)
+        F = jnp.where(active, F, 0.0)
+        interacting = interacting & active
+        n_ints = jnp.sum(interacting)
+        # Reaction on the wall node, averaged over interactions
+        # (ref links.cuh:166-167, 183-195).  The division applies to the
+        # wall node's entire generic-force dX, as in update_wall_node.
+        wall_reaction = -jnp.sum(F)
+        dX = dX.replace(z=dX.z + F)
+        scale = jnp.where(n_ints > 0, 1.0 / jnp.maximum(n_ints, 1), 1.0)
+        upd = {}
+        for f in ("x", "y", "z"):
+            arr = getattr(dX, f)
+            val = arr[wall_idx] + (wall_reaction if f == "z" else 0.0)
+            upd[f] = arr.at[wall_idx].set(val * scale)
+        return dX.replace(**upd)
+    return fn
+
+
+def wall_forces(wall_idx, w_force=xy_wall_relu_force):
+    """Wall node, no links (ref links.cuh:198-210)."""
+    return GenericForce(fn=_wall_gen_fn(w_force, False, None),
+                        args=jnp.int32(wall_idx))
+
+
+def link_wall_forces(links: Links, wall_idx, l_force=linear_force,
+                     w_force=xy_wall_relu_force):
+    """Wall node + links (ref links.cuh:213-228)."""
+    return GenericForce(fn=_wall_gen_fn(w_force, True, l_force),
+                        args=(links.state, jnp.int32(wall_idx)))

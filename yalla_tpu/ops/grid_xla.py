@@ -1,0 +1,227 @@
+"""Spatial-hash grid engine (XLA path) and Gabriel-graph refinement.
+
+TPU-native rebuild of the reference's sort-based uniform grid
+(``/root/reference/include/solvers.cuh:345-502``) and Gabriel computer
+(``solvers.cuh:505-644``).  Key design translations:
+
+* ``thrust::sort_by_key(cube_id, point_id)``  ->  ``lax.sort`` with payload.
+* per-cube start/end boundary-detection kernel  ->  scatter-min/scatter-max
+  into dense ``cube_start`` / ``cube_end`` tables (one gather per query
+  instead of a binary search).
+* the 27-neighbour-cube sweep  ->  9 *contiguous row ranges*: because cube
+  ids along x are consecutive integers and points are sorted by cube id, the
+  three cubes ``(c-1, c, c+1)`` of each (dy, dz) row occupy one contiguous
+  span of the sorted order.  Each point gathers ``row_cap`` fixed-capacity
+  candidates per row -- static shapes, fully vectorized, no atomics.
+* dynamic cells-per-cube  ->  fixed capacity + masking.  ``row_cap`` bounds
+  points per 3-cube row; overflow is detectable via ``grid_overflow``.
+
+Padded (inactive) points get a sentinel cube id that sorts past every real
+cube, so they never appear as candidates of real points.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .common import evaluate_pairs
+
+__all__ = ["GridData", "build_grid", "grid_pairwise", "gabriel_pairwise",
+           "grid_overflow"]
+
+
+class GridData(NamedTuple):
+    order: jnp.ndarray       # int32[n_pad]: point id per sorted slot
+    cid: jnp.ndarray         # int32[n_pad]: cube id per point (unsorted)
+    row_start: jnp.ndarray   # int32[n_pad, 9]: first sorted slot per row
+    row_end: jnp.ndarray     # int32[n_pad, 9]: last sorted slot per row (incl.)
+
+
+def _row_offsets(grid_size):
+    """27 neighbour-cube offsets grouped as 9 rows of 3 consecutive cubes
+    (cf. the ``d_nhood`` construction, ref solvers.cuh:472-484)."""
+    offs = []
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            row = dz * grid_size * grid_size + dy * grid_size
+            offs.append([row - 1, row, row + 1])
+    return jnp.asarray(offs, dtype=jnp.int32)  # [9, 3]
+
+
+def build_grid(X, n, cube_size, grid_size):
+    """Bin points into cubes and index the sorted order.
+
+    Cube id = (floor(x/s) + gs/2) + (floor(y/s) + gs/2)*gs +
+    (floor(z/s) + gs/2)*gs^2 (ref solvers.cuh:349-365).  Coordinates are
+    clipped to the grid (the reference device-asserts instead; models must
+    stay within gs/2 cubes of the origin either way).
+    """
+    n_pad = X.x.shape[0]
+    gs = grid_size
+    n_cubes = gs * gs * gs
+    active = jnp.arange(n_pad, dtype=jnp.int32) < n
+
+    def coord(v):
+        c = jnp.floor(v / cube_size).astype(jnp.int32) + gs // 2
+        return jnp.clip(c, 0, gs - 1)
+
+    cid = coord(X.x) + coord(X.y) * gs + coord(X.z) * gs * gs
+    cid = jnp.where(active, cid, n_cubes)  # sentinel: sorts last
+
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    sorted_cid, order = jax.lax.sort((cid, iota), num_keys=1)
+
+    slot = jnp.arange(n_pad, dtype=jnp.int32)
+    cube_start = jnp.full((n_cubes + 1,), n_pad, jnp.int32) \
+        .at[sorted_cid].min(slot)
+    cube_end = jnp.full((n_cubes + 1,), -1, jnp.int32) \
+        .at[sorted_cid].max(slot)
+
+    # Union of the 3 consecutive cubes of each row is one contiguous span.
+    qc = jnp.clip(cid[:, None, None] + _row_offsets(gs)[None], 0, n_cubes - 1)
+    row_start = jnp.min(cube_start[qc], axis=2)  # [n_pad, 9]
+    row_end = jnp.max(cube_end[qc], axis=2)      # [n_pad, 9] inclusive
+    return GridData(order, cid, row_start, row_end)
+
+
+def grid_overflow(grid: GridData, row_cap: int):
+    """True if any 3-cube row holds more candidates than ``row_cap``
+    (the rebuild's analogue of the reference's D_ASSERT capacity checks)."""
+    return jnp.any(grid.row_end - grid.row_start + 1 > row_cap)
+
+
+def _candidates(order, rs, re, row_cap):
+    """Candidate point ids for an i-block: [B, 9, row_cap] from row ranges."""
+    pos = rs[:, :, None] + jnp.arange(row_cap, dtype=jnp.int32)
+    valid = pos <= re[:, :, None]
+    n_pad = order.shape[0]
+    jidx = order[jnp.clip(pos, 0, n_pad - 1)]
+    return jidx, valid
+
+
+def _block_sizes(n_pad, want):
+    b = min(want, n_pad)
+    while n_pad % b:
+        b //= 2
+    return b
+
+
+def grid_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
+                  grid_size=50, row_cap=16, i_block=4096):
+    """Pairwise sums over grid neighbours with ``dist < cube_size`` cutoff.
+
+    Equivalent of ``Grid_computer::pwints`` + ``compute_cube``
+    (ref solvers.cuh:430-499): the grid is rebuilt from scratch on every
+    call, exactly like the reference rebuilds per pass.
+    """
+    n_pad = X.x.shape[0]
+    grid = build_grid(X, n, cube_size, grid_size)
+    active = jnp.arange(n_pad, dtype=jnp.int32) < n
+
+    B = _block_sizes(n_pad, i_block)
+    nb = n_pad // B
+
+    def eval_block(start):
+        sl = jax.lax.dynamic_slice_in_dim
+        blk = partial(sl, start_index=start, slice_size=B, axis=0)
+        jidx, valid = _candidates(grid.order, blk(grid.row_start),
+                                  blk(grid.row_end), row_cap)
+        Xi = jax.tree.map(lambda a: blk(a)[:, None, None], X)
+        Xj = jax.tree.map(lambda a: a[jidx], X)
+        ovj = (old_v.x[jidx], old_v.y[jidx], old_v.z[jidx])
+        i_arr = (start + jnp.arange(B, dtype=jnp.int32))[:, None, None]
+        pair_mask = valid & blk(active)[:, None, None]
+        return evaluate_pairs(pw_int, pw_friction, Xi, Xj, ovj, i_arr, jidx,
+                              pair_mask, sum_axes=(1, 2), cutoff=cube_size)
+
+    if nb == 1:
+        return eval_block(jnp.int32(0))
+
+    starts = jnp.arange(nb, dtype=jnp.int32) * B
+    _, outs = jax.lax.scan(lambda c, s: (c, eval_block(s)), None, starts)
+    flat = lambda a: a.reshape((n_pad,) + a.shape[2:])
+    F, sum_f, sum_v, aux = outs
+    return (jax.tree.map(flat, F), flat(sum_f), tuple(map(flat, sum_v)),
+            {k: flat(v) for k, v in aux.items()})
+
+
+def gabriel_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
+                     grid_size=50, row_cap=16, gabriel_coefficient=0.8,
+                     i_block=256):
+    """Grid neighbours pruned to (scaled) Gabriel-graph pairs.
+
+    Rebuild of ``compute_cube_gabriel`` (ref solvers.cuh:509-602): collect
+    candidates, sort by distance, and keep pair (i, j) only if no *closer*
+    candidate k falls inside the sphere of radius
+    ``0.5 * dist_ij * gabriel_coefficient`` around the i-j midpoint.  The
+    candidate-vs-candidate distance matrix is evaluated as a batched Gram
+    matrix so the test runs on the MXU.
+    """
+    n_pad = X.x.shape[0]
+    grid = build_grid(X, n, cube_size, grid_size)
+    active = jnp.arange(n_pad, dtype=jnp.int32) < n
+    K = 9 * row_cap
+
+    B = _block_sizes(n_pad, i_block)
+    nb = n_pad // B
+
+    def eval_block(start):
+        sl = jax.lax.dynamic_slice_in_dim
+        blk = partial(sl, start_index=start, slice_size=B, axis=0)
+        jidx, valid = _candidates(grid.order, blk(grid.row_start),
+                                  blk(grid.row_end), row_cap)
+        jidx = jidx.reshape(B, K)
+        valid = valid.reshape(B, K) & blk(active)[:, None]
+        i_arr = (start + jnp.arange(B, dtype=jnp.int32))[:, None]
+
+        xj = X.x[jidx]
+        yj = X.y[jidx]
+        zj = X.z[jidx]
+        xi = blk(X.x)[:, None]
+        yi = blk(X.y)[:, None]
+        zi = blk(X.z)[:, None]
+        dx, dy, dz = xi - xj, yi - yj, zi - zj
+        dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        cand = valid & (dist < cube_size)
+
+        # Sort candidates by distance (invalid -> +inf), ref solvers.cuh:549-566
+        sort_key = jnp.where(cand, dist, jnp.inf)
+        sort_ord = jnp.argsort(sort_key, axis=1)
+        take = lambda a: jnp.take_along_axis(a, sort_ord, axis=1)
+        jidx_s, cand_s, dist_s = take(jidx), take(cand), take(dist)
+        xj_s, yj_s, zj_s = take(xj), take(yj), take(zj)
+
+        # Midpoints of each candidate pair with i (ref solvers.cuh:578-579)
+        mids = jnp.stack([(xi + xj_s), (yi + yj_s), (zi + zj_s)],
+                         axis=-1) * 0.5                     # [B, K, 3]
+        cpts = jnp.stack([xj_s, yj_s, zj_s], axis=-1)       # [B, K, 3]
+        prod = jnp.einsum("bmc,bkc->bmk", mids, cpts,
+                          preferred_element_type=jnp.float32)
+        d2 = (jnp.sum(mids * mids, -1)[:, :, None]
+              + jnp.sum(cpts * cpts, -1)[:, None, :] - 2.0 * prod)
+        radius2 = (0.5 * dist_s * gabriel_coefficient) ** 2  # [B, K]
+        m_ids = jnp.arange(K)[:, None]
+        k_ids = jnp.arange(K)[None, :]
+        closer = (k_ids < m_ids)[None] & cand_s[:, None, :]
+        blocked = jnp.any(closer & (d2 < radius2[:, :, None]), axis=2)
+        is_self = jidx_s == i_arr
+        keep = cand_s & (is_self | ~blocked)
+
+        Xi = jax.tree.map(lambda a: blk(a)[:, None], X)
+        Xj = jax.tree.map(lambda a: a[jidx_s], X)
+        ovj = (old_v.x[jidx_s], old_v.y[jidx_s], old_v.z[jidx_s])
+        return evaluate_pairs(pw_int, pw_friction, Xi, Xj, ovj, i_arr, jidx_s,
+                              keep, sum_axes=(1,))
+
+    if nb == 1:
+        return eval_block(jnp.int32(0))
+
+    starts = jnp.arange(nb, dtype=jnp.int32) * B
+    _, outs = jax.lax.scan(lambda c, s: (c, eval_block(s)), None, starts)
+    flat = lambda a: a.reshape((n_pad,) + a.shape[2:])
+    F, sum_f, sum_v, aux = outs
+    return (jax.tree.map(flat, F), flat(sum_f), tuple(map(flat, sum_v)),
+            {k: flat(v) for k, v in aux.items()})

@@ -1,0 +1,180 @@
+"""Polarity: forces for polarization, epithelial sheets, and migration.
+
+TPU-native rebuild of ``/root/reference/include/polarity.cuh``.  Polarity is
+a unit vector p in spherical coordinates, 0 <= theta < pi, -pi <= phi <= pi,
+stored as two extra Pt fields.  All forces are analytic gradients of pair
+potentials and are written as elementwise jnp functions, so they compose
+directly inside any pairwise engine (arguments may be scalars or pair
+blocks).
+
+The reference selects which (theta, phi) pair to act on via member-pointer
+template parameters -- supporting a second polarity axis per cell (PCP,
+``examples/epithelia_double_polarity.cu:53``).  Here the same is done with
+the ``axis=('theta', 'phi')`` keyword naming the Pt fields.
+
+The spherical-coordinate integration (including the |sin theta| > 1e-10
+gimbal guard, ref polarity.cuh:57) is part of the physics contract; do not
+"upgrade" to quaternions or the great-circle relaxation statistics change.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .dtypes import Float3, Polarity, pt_zeros_like
+
+__all__ = [
+    "pol_to_float3", "pt_to_pol", "pol_dot_product",
+    "unidirectional_polarization_force", "bidirectional_polarization_force",
+    "bending_force", "apical_constriction_force",
+    "orthonormal", "migration_force",
+]
+
+DEFAULT_AXIS = ("theta", "phi")
+
+
+def _angles(p, axis):
+    return getattr(p, axis[0]), getattr(p, axis[1])
+
+
+def pol_to_float3(p, axis=DEFAULT_AXIS):
+    """Spherical -> Cartesian unit vector (ref polarity.cuh:13-21)."""
+    th, ph = _angles(p, axis)
+    return Float3(x=jnp.sin(th) * jnp.cos(ph),
+                  y=jnp.sin(th) * jnp.sin(ph),
+                  z=jnp.cos(th))
+
+
+def pt_to_pol(r, dist=None):
+    """Cartesian -> spherical (ref polarity.cuh:23-39)."""
+    if dist is None:
+        dist = jnp.sqrt(r.x * r.x + r.y * r.y + r.z * r.z)
+    return Polarity(theta=jnp.arccos(r.z / dist),
+                    phi=jnp.arctan2(r.y, r.x))
+
+
+def pol_dot_product(a, p, axis=DEFAULT_AXIS, p_axis=DEFAULT_AXIS):
+    """p_a . p_p for two spherical polarities (ref polarity.cuh:41-46)."""
+    ath, aph = _angles(a, axis)
+    pth, pph = _angles(p, p_axis)
+    return (jnp.sin(ath) * jnp.sin(pth) * jnp.cos(aph - pph)
+            + jnp.cos(ath) * jnp.cos(pth))
+
+
+def unidirectional_polarization_force(Xi, p, axis=DEFAULT_AXIS):
+    """dU/d(theta,phi) of U = -p_i . p (ref polarity.cuh:48-60).
+
+    Returns a Pt of Xi's type with only the axis fields nonzero.
+    """
+    th, ph = _angles(Xi, axis)
+    pth, pph = p.theta, p.phi  # p is a Polarity (or anything with theta/phi)
+    d_theta = (jnp.cos(th) * jnp.sin(pth) * jnp.cos(ph - pph)
+               - jnp.sin(th) * jnp.cos(pth))
+    sin_th = jnp.sin(th)
+    # Gimbal guard at the poles (ref polarity.cuh:56-58)
+    safe = jnp.abs(sin_th) > 1e-10
+    d_phi = jnp.where(
+        safe,
+        -jnp.sin(pth) * jnp.sin(ph - pph) / jnp.where(safe, sin_th, 1.0),
+        0.0)
+    dF = pt_zeros_like(Xi)
+    return dF.replace(**{axis[0]: d_theta, axis[1]: d_phi})
+
+
+def bidirectional_polarization_force(Xi, p, axis=DEFAULT_AXIS):
+    """Gradient of U = -(p_i . p)^2 / 2: nematic alignment
+    (ref polarity.cuh:62-69)."""
+    prod = pol_dot_product(Xi, p, axis=axis)
+    return prod * unidirectional_polarization_force(Xi, p, axis=axis)
+
+
+def bending_force(Xi, r, dist, axis=DEFAULT_AXIS):
+    """Resistance to bending: U = sum (p_i . r_ij / r)^2 / 2, including the
+    reverse j-term; returns positional xyz and angular components
+    (ref polarity.cuh:72-94)."""
+    pi = pol_to_float3(Xi, axis)
+    prodi = (pi.x * r.x + pi.y * r.y + pi.z * r.z) / dist
+    r_hat = pt_to_pol(r, dist)
+    dF = (-prodi) * unidirectional_polarization_force(Xi, r_hat, axis=axis)
+
+    d2 = dist * dist
+    fx = -prodi / dist * pi.x + prodi * prodi / d2 * r.x
+    fy = -prodi / dist * pi.y + prodi * prodi / d2 * r.y
+    fz = -prodi / dist * pi.z + prodi * prodi / d2 * r.z
+
+    # Contribution from (p_j . r_ji / r)^2 / 2; Xj angles = Xi - r
+    # (ref polarity.cuh:85-91)
+    th, ph = _angles(Xi, axis)
+    rth, rph = _angles(r, axis)
+    pj = pol_to_float3(Polarity(th - rth, ph - rph))
+    prodj = (pj.x * r.x + pj.y * r.y + pj.z * r.z) / dist
+    fx = fx - prodj / dist * pj.x + prodj * prodj / d2 * r.x
+    fy = fy - prodj / dist * pj.y + prodj * prodj / d2 * r.y
+    fz = fz - prodj / dist * pj.z + prodj * prodj / d2 * r.z
+
+    return dF.replace(x=fx, y=fy, z=fz)
+
+
+def apical_constriction_force(Xi, r, dist, pref_angle, axis=DEFAULT_AXIS):
+    """Bending with preferred angle != 90 deg: wedge-shaped cells;
+    pref_angle = pi/2 gives a flat epithelium (ref polarity.cuh:96-121)."""
+    cos_pref = jnp.cos(pref_angle)
+    pi = pol_to_float3(Xi, axis)
+    prodi = (pi.x * r.x + pi.y * r.y + pi.z * r.z) / dist + cos_pref
+    r_hat = pt_to_pol(r, dist)
+    dF = (-prodi) * unidirectional_polarization_force(Xi, r_hat, axis=axis)
+
+    d2 = dist * dist
+    fx = -prodi / dist * pi.x + prodi * prodi / d2 * r.x
+    fy = -prodi / dist * pi.y + prodi * prodi / d2 * r.y
+    fz = -prodi / dist * pi.z + prodi * prodi / d2 * r.z
+
+    th, ph = _angles(Xi, axis)
+    rth, rph = _angles(r, axis)
+    pj = pol_to_float3(Polarity(th - rth, ph - rph))
+    prodj = (pj.x * r.x + pj.y * r.y + pj.z * r.z) / dist - cos_pref
+    fx = fx - prodj / dist * pj.x + prodj * prodj / d2 * r.x
+    fy = fy - prodj / dist * pj.y + prodj * prodj / d2 * r.y
+    fz = fz - prodj / dist * pj.z + prodj * prodj / d2 * r.z
+
+    return dF.replace(x=fx, y=fy, z=fz)
+
+
+def orthonormal(r, p):
+    """Unit vector in the r-plane orthogonal to unit p
+    (ref polarity.cuh:125-131)."""
+    rp = r.x * p.x + r.y * p.y + r.z * p.z
+    nx, ny, nz = r.x - rp * p.x, r.y - rp * p.y, r.z - rp * p.z
+    norm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    return Float3(x=nx / norm, y=ny / norm, z=nz / norm)
+
+
+def migration_force(Xi, r, dist, axis=DEFAULT_AXIS):
+    """Mono-polar migration: crawl around the cell in front, get pushed
+    aside by the one behind (ref polarity.cuh:123-164, after
+    https://doi.org/10.1016/B978-0-12-405926-9.00016-2)."""
+    th, ph = _angles(Xi, axis)
+    r_hat = pt_to_pol(r, dist)
+
+    # Pulling around j (only for cells with a set polarity)
+    pull = (((ph != 0) | (th != 0))
+            & (pol_dot_product(Xi, r_hat, axis=axis) <= -0.15))
+    pi = pol_to_float3(Xi, axis)
+    pi_T = orthonormal(r, pi)
+    fx = jnp.where(pull, 0.6 * pi.x + 0.8 * pi_T.x, 0.0)
+    fy = jnp.where(pull, 0.6 * pi.y + 0.8 * pi_T.y, 0.0)
+    fz = jnp.where(pull, 0.6 * pi.z + 0.8 * pi_T.z, 0.0)
+
+    # Getting pushed aside by j; Xj angles = Xi - r
+    rth, rph = _angles(r, axis)
+    Xj = Polarity(th - rth, ph - rph)
+    push = (((Xj.phi > 1e-10) | (Xj.theta > 1e-10))
+            & (pol_dot_product(Xj, r_hat) >= 0.15))
+    pj = pol_to_float3(Xj)
+    pj_T = orthonormal(-1.0 * Float3(r.x, r.y, r.z), pj)
+    fx = fx - jnp.where(push, 0.6 * pj.x + 0.8 * pj_T.x, 0.0)
+    fy = fy - jnp.where(push, 0.6 * pj.y + 0.8 * pj_T.y, 0.0)
+    fz = fz - jnp.where(push, 0.6 * pj.z + 0.8 * pj_T.z, 0.0)
+
+    dF = pt_zeros_like(Xi)
+    return dF.replace(x=fx, y=fy, z=fz)

@@ -1,0 +1,321 @@
+"""Heun integrator + neighbour engines + the ``Solution`` facade.
+
+TPU-native rebuild of ``/root/reference/include/solvers.cuh``:
+
+* ``Heun_solver`` (ref solvers.cuh:164-276) becomes a *pure function*
+  ``(X, old_v, n) -> (X', old_v', aux)`` traced once under ``jax.jit``;
+  the whole predictor/corrector body fuses into a single XLA program.
+* ``Tile_solver`` / ``Grid_solver`` / ``Gabriel_solver`` become engine
+  objects selecting the pairwise implementation (see ``yalla_tpu.ops``).
+* dynamic point counts: arrays have static padded capacity ``n_pad`` and a
+  traced active count ``n`` -- growth never triggers recompilation.
+
+The equation of motion is v = F + <v(t - dt)> for x, y, z, where <v> is the
+friction-weighted mean neighbour velocity (ref solvers.cuh:109-161, after
+http://dx.doi.org/10.1007/s10237-014-0613-5), and dw/dt = F_w for every
+other field of Pt.
+
+Deliberate deviation from the reference: with ``set_fixed_xy`` the
+reference's *corrector* pass falls back to fixing the full xyz of the pinned
+point (ref solvers.cuh:265-272 checks only ``fix_com``), while its predictor
+mixes point-xy with COM-z.  We apply the same (predictor) rule in both
+passes -- symmetric and closer to the documented intent.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import lru_cache, partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dtypes import Float3
+from .ops.common import (friction_on_background, friction_w_neighbour,
+                         mask_tree)
+from .ops.grid_xla import gabriel_pairwise, grid_pairwise, grid_overflow, \
+    build_grid
+from .ops.pairwise_xla import tile_pairwise
+
+__all__ = [
+    "TileEngine", "GridEngine", "GabrielEngine",
+    "GenericForce", "Solution", "heun_step", "heun_steps",
+    "friction_w_neighbour", "friction_on_background",
+]
+
+
+# --------------------------------------------------------------------------
+# Neighbour engines (the reference's "Computer" template parameter)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TileEngine:
+    """All-pairs O(N^2) (ref Tile_computer, solvers.cuh:324-342)."""
+    j_block: int | None = None
+
+    def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size):
+        del cube_size  # no cutoff in the all-pairs engine
+        return tile_pairwise(pw_int, pw_friction, X, old_v, n,
+                             j_block=self.j_block)
+
+
+@dataclass(frozen=True)
+class GridEngine:
+    """Spatial-hash O(N) with dist < cube_size cutoff
+    (ref Grid_computer, solvers.cuh:465-502)."""
+    grid_size: int = 50
+    row_cap: int = 32
+    i_block: int = 4096
+
+    def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size):
+        return grid_pairwise(pw_int, pw_friction, X, old_v, n, cube_size,
+                             grid_size=self.grid_size, row_cap=self.row_cap,
+                             i_block=self.i_block)
+
+
+@dataclass(frozen=True)
+class GabrielEngine:
+    """Grid + Gabriel-graph neighbourhood pruning
+    (ref Gabriel_computer, solvers.cuh:604-644)."""
+    grid_size: int = 50
+    row_cap: int = 32
+    gabriel_coefficient: float = 0.8
+    i_block: int = 256
+
+    def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size):
+        return gabriel_pairwise(
+            pw_int, pw_friction, X, old_v, n, cube_size,
+            grid_size=self.grid_size, row_cap=self.row_cap,
+            gabriel_coefficient=self.gabriel_coefficient,
+            i_block=self.i_block)
+
+
+# --------------------------------------------------------------------------
+# Generic forces (the reference's Generic_forces hook, solvers.cuh:43-53)
+# --------------------------------------------------------------------------
+
+class GenericForce(NamedTuple):
+    """A generic force with explicit state.
+
+    ``fn(X, n, args) -> dX`` runs *before* the pairwise pass and its result
+    is added to dX, exactly like the reference's host-lambda hook -- but as
+    a pure function so it stays inside jit.  ``args`` is an arbitrary
+    pytree of dynamic state (e.g. link tables) so updating it never
+    recompiles.
+    """
+    fn: Callable[..., Any]
+    args: Any = None
+
+
+@lru_cache(maxsize=None)
+def _wrap_plain_gen(fn):
+    return GenericForce(lambda X, n, args: fn(X, n), None)
+
+
+def _as_generic(gen_forces):
+    if gen_forces is None:
+        return None
+    if isinstance(gen_forces, GenericForce):
+        return gen_forces
+    return _wrap_plain_gen(gen_forces)
+
+
+# --------------------------------------------------------------------------
+# Heun predictor-corrector (ref Heun_solver::take_step, solvers.cuh:226-275)
+# --------------------------------------------------------------------------
+
+def _fix_components(dX, n, active, fix_mode, fix_point):
+    """Momentum fix: COM drift (default), pinned point, or xy-point/z-COM
+    (ref solvers.cuh:196-208, 240-253).  Only x, y, z are ever fixed."""
+    def com(a):
+        return jnp.sum(jnp.where(active, a, 0.0)) / n
+    if fix_mode == "com":
+        return com(dX.x), com(dX.y), com(dX.z)
+    if fix_mode == "point":
+        return dX.x[fix_point], dX.y[fix_point], dX.z[fix_point]
+    if fix_mode == "com_z":
+        return dX.x[fix_point], dX.y[fix_point], com(dX.z)
+    raise ValueError(fix_mode)
+
+
+def _deriv(engine, pw_int, pw_friction, gen, fix_mode,
+           X, old_v, n, cube_size, fix_point, gen_args):
+    active = jnp.arange(X.x.shape[0], dtype=jnp.int32) < n
+    F, sum_f, sum_v, aux = engine.pairwise(
+        pw_int, pw_friction, X, old_v, n, cube_size)
+    if gen is not None:
+        F = F + gen.fn(X, n, gen_args)
+    # add_rhs: mean neighbour velocity weighted by friction (solvers.cuh:146-161)
+    inv = jnp.where(sum_f > 0, 1.0 / jnp.where(sum_f > 0, sum_f, 1.0), 0.0)
+    dX = F.replace(x=F.x + sum_v[0] * inv,
+                   y=F.y + sum_v[1] * inv,
+                   z=F.z + sum_v[2] * inv)
+    dX = mask_tree(dX, active)
+    fx, fy, fz = _fix_components(dX, n, active, fix_mode, fix_point)
+    dX = dX.replace(x=jnp.where(active, dX.x - fx, 0.0),
+                    y=jnp.where(active, dX.y - fy, 0.0),
+                    z=jnp.where(active, dX.z - fz, 0.0))
+    return dX, aux
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def heun_step(engine, pw_int, pw_friction, gen, fix_mode,
+              X, old_v, n, dt, cube_size, fix_point, gen_args):
+    """One 2nd-order step.  Pure; jitted once per (engine, forces) combo."""
+    d = partial(_deriv, engine, pw_int, pw_friction, gen, fix_mode)
+    dX, _ = d(X, old_v, n, cube_size, fix_point, gen_args)
+    X1 = jax.tree.map(lambda a, b: a + b * dt, X, dX)
+    dX1, aux = d(X1, old_v, n, cube_size, fix_point, gen_args)
+    X_new = jax.tree.map(lambda a, b, c: a + (b + c) * (0.5 * dt), X, dX, dX1)
+    old_v_new = Float3(x=(dX.x + dX1.x) * 0.5,
+                       y=(dX.y + dX1.y) * 0.5,
+                       z=(dX.z + dX1.z) * 0.5)
+    return X_new, old_v_new, aux
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def heun_steps(n_steps, engine, pw_int, pw_friction, gen, fix_mode,
+               X, old_v, n, dt, cube_size, fix_point, gen_args):
+    """``n_steps`` fused steps via lax.scan (device-resident hot loop)."""
+    def body(carry, _):
+        X, old_v = carry
+        X, old_v, aux = heun_step(engine, pw_int, pw_friction, gen, fix_mode,
+                                  X, old_v, n, dt, cube_size, fix_point,
+                                  gen_args)
+        return (X, old_v), aux
+    (X, old_v), auxs = jax.lax.scan(body, (X, old_v), None, length=n_steps)
+    aux = jax.tree.map(lambda a: a[-1], auxs) if auxs else {}
+    return X, old_v, aux
+
+
+# --------------------------------------------------------------------------
+# Solution facade (ref Solution<Pt, Solver>, solvers.cuh:60-106)
+# --------------------------------------------------------------------------
+
+def _pad_size(n_max):
+    if n_max <= 4096:
+        return max(64, -(-n_max // 64) * 64)
+    return -(-n_max // 4096) * 4096
+
+
+_ENGINES = {"tile": TileEngine, "grid": GridEngine, "gabriel": GabrielEngine}
+
+
+class Solution:
+    """Host facade owning padded device state + a host mirror.
+
+    Mirrors the reference's ``Solution`` UX: ``h_X`` (numpy, mutable in
+    place), ``copy_to_device`` / ``copy_to_host``, ``take_step``.  Device
+    state is a struct-of-arrays pytree; every field is ``f32[n_pad]``.
+    """
+
+    def __init__(self, pt_type, n_max, *, solver="tile", grid_size=50,
+                 cube_size=1.0, row_cap=32, gabriel_coefficient=0.8,
+                 engine=None, n_pad=None):
+        self.pt_type = pt_type
+        self.n_max = int(n_max)
+        self.n_pad = int(n_pad) if n_pad else _pad_size(self.n_max)
+        assert self.n_pad >= self.n_max
+        if engine is None:
+            if solver == "tile":
+                engine = TileEngine()
+            elif solver == "grid":
+                engine = GridEngine(grid_size=grid_size, row_cap=row_cap)
+            elif solver == "gabriel":
+                engine = GabrielEngine(
+                    grid_size=grid_size, row_cap=row_cap,
+                    gabriel_coefficient=gabriel_coefficient)
+            else:
+                raise ValueError(f"unknown solver {solver!r}")
+        self.engine = engine
+        self.cube_size = float(cube_size)  # mutable, traced dynamically
+
+        self.h_X = pt_type(*[np.zeros(self.n_pad, np.float32)
+                             for _ in pt_type._fields])
+        self.h_n = self.n_max
+        self.d_X = None
+        self.d_old_v = Float3.zeros(self.n_pad)
+        self.d_n = jnp.int32(self.n_max)
+        self.aux: dict = {}
+
+        self._fix_mode = "com"
+        self._fix_point = 0
+
+    # -- host <-> device ----------------------------------------------------
+    def copy_to_device(self):
+        assert self.h_n <= self.n_max
+        self.d_X = self.pt_type(*[jnp.asarray(f, jnp.float32)
+                                  for f in self.h_X])
+        self.d_n = jnp.int32(self.h_n)
+
+    def copy_to_host(self):
+        assert self.d_X is not None
+        # np.array (not asarray): the host mirror must be writable
+        self.h_X = self.pt_type(*[np.array(f) for f in self.d_X])
+        self.h_n = int(self.d_n)
+        assert self.h_n <= self.n_max
+        return self.h_X
+
+    def get_d_n(self):
+        return int(self.d_n)
+
+    @property
+    def n_active(self):
+        return self.d_n
+
+    # -- momentum fixing (ref solvers.cuh:196-208) ---------------------------
+    def set_fixed(self, point_id=None):
+        if point_id is None:
+            self._fix_mode = "com"
+        else:
+            self._fix_mode = "point"
+            self._fix_point = int(point_id)
+
+    def set_fixed_xy(self, point_id):
+        self._fix_mode = "com_z"
+        self._fix_point = int(point_id)
+
+    # -- integration ----------------------------------------------------------
+    def _ensure_device(self):
+        if self.d_X is None:
+            self.copy_to_device()
+
+    def take_step(self, dt, pw_int, *, pw_friction=friction_w_neighbour,
+                  gen_forces=None):
+        """One Heun step (ref Solution::take_step, solvers.cuh:94-105)."""
+        self._ensure_device()
+        gen = _as_generic(gen_forces)
+        gen_args = gen.args if gen is not None else None
+        gen_static = gen._replace(args=None) if gen is not None else None
+        self.d_X, self.d_old_v, self.aux = heun_step(
+            self.engine, pw_int, pw_friction, gen_static, self._fix_mode,
+            self.d_X, self.d_old_v, self.d_n, jnp.float32(dt),
+            jnp.float32(self.cube_size), jnp.int32(self._fix_point), gen_args)
+        return self.aux
+
+    def take_steps(self, n_steps, dt, pw_int, *,
+                   pw_friction=friction_w_neighbour, gen_forces=None):
+        """``n_steps`` device-fused steps (lax.scan hot loop)."""
+        self._ensure_device()
+        gen = _as_generic(gen_forces)
+        gen_args = gen.args if gen is not None else None
+        gen_static = gen._replace(args=None) if gen is not None else None
+        self.d_X, self.d_old_v, self.aux = heun_steps(
+            int(n_steps), self.engine, pw_int, pw_friction, gen_static,
+            self._fix_mode, self.d_X, self.d_old_v, self.d_n,
+            jnp.float32(dt), jnp.float32(self.cube_size),
+            jnp.int32(self._fix_point), gen_args)
+        return self.aux
+
+    # -- diagnostics ----------------------------------------------------------
+    def check_grid_capacity(self):
+        """True if the current configuration overflows ``row_cap``
+        (rebuild of the reference's capacity D_ASSERTs)."""
+        if not isinstance(self.engine, (GridEngine, GabrielEngine)):
+            return False
+        self._ensure_device()
+        g = build_grid(self.d_X, self.d_n, jnp.float32(self.cube_size),
+                       self.engine.grid_size)
+        return bool(grid_overflow(g, self.engine.row_cap))
