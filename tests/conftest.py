@@ -13,9 +13,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# XLA:CPU compiles are slow in this image; cache compiled executables on
-# disk so repeated test runs skip them.
 import jax  # noqa: E402
 
+# The axon TPU plugin overrides the JAX_PLATFORMS env var; the config API
+# wins, so force the CPU backend here (tests must not run over the TPU
+# tunnel).  An 8-device virtual CPU mesh exercises the sharded paths.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -10,7 +10,7 @@ from helpers import center_of_mass, isclose
 from yalla_tpu import (Float3, Float4, GenericForce, Solution,
                        friction_on_background)
 from yalla_tpu.inits import random_sphere, regular_hexagon, set_seed
-from yalla_tpu.ops.grid_xla import build_grid
+from yalla_tpu.ops.grid_xla import build_grid, row_ranges
 
 set_seed(12345)
 
@@ -172,7 +172,8 @@ def test_grid_structure():
     pts.copy_to_device()
 
     gs = 70
-    grid = build_grid(pts.d_X, pts.d_n, jnp.float32(1.0), gs)
+    bg = jax.jit(build_grid, static_argnames=("grid_size",))
+    grid = bg(pts.d_X, pts.d_n, jnp.float32(1.0), grid_size=gs)
     origin = gs ** 3 // 2 + gs ** 2 // 2 + gs // 2
     cid = np.asarray(grid.cid)
     for i in range(n_z):
@@ -183,7 +184,9 @@ def test_grid_structure():
 
     # With cube_size=1 each cube holds exactly one point
     order = np.asarray(grid.order)
-    rs, re = np.asarray(grid.row_start), np.asarray(grid.row_end)
+    rr = jax.jit(row_ranges, static_argnames=("grid_size",))(
+        grid, grid.cid, grid_size=gs)
+    rs, re = np.asarray(rr[0]), np.asarray(rr[1])
     x, y, z = pts.h_X.x, pts.h_X.y, pts.h_X.z
     for idx in (0, 171, 342, 100):
         cands = set()
@@ -199,7 +202,7 @@ def test_grid_structure():
         assert cands == brute, f"27-cube neighbourhood wrong for point {idx}"
 
     # cube_size=2: points group in 2x2x2 blocks
-    grid2 = build_grid(pts.d_X, pts.d_n, jnp.float32(2.0), gs)
+    grid2 = bg(pts.d_X, pts.d_n, jnp.float32(2.0), grid_size=gs)
     cid2 = np.asarray(grid2.cid)
     for i in range(n_z):
         for j in range(n_y):

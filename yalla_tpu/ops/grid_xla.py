@@ -18,6 +18,10 @@ TPU-native rebuild of the reference's sort-based uniform grid
 
 Padded (inactive) points get a sentinel cube id that sorts past every real
 cube, so they never appear as candidates of real points.
+
+All pairwise entry points take an optional ``(i_offset, i_size)`` window so
+a multi-chip caller (shard_map over a cells axis) can compute derivatives
+for its own shard of points against the full gathered population.
 """
 from __future__ import annotations
 
@@ -29,15 +33,15 @@ import jax.numpy as jnp
 
 from .common import evaluate_pairs
 
-__all__ = ["GridData", "build_grid", "grid_pairwise", "gabriel_pairwise",
-           "grid_overflow"]
+__all__ = ["GridTables", "build_grid", "row_ranges", "grid_pairwise",
+           "gabriel_pairwise", "grid_overflow"]
 
 
-class GridData(NamedTuple):
+class GridTables(NamedTuple):
     order: jnp.ndarray       # int32[n_pad]: point id per sorted slot
     cid: jnp.ndarray         # int32[n_pad]: cube id per point (unsorted)
-    row_start: jnp.ndarray   # int32[n_pad, 9]: first sorted slot per row
-    row_end: jnp.ndarray     # int32[n_pad, 9]: last sorted slot per row (incl.)
+    cube_start: jnp.ndarray  # int32[n_cubes + 1]: first sorted slot per cube
+    cube_end: jnp.ndarray    # int32[n_cubes + 1]: last sorted slot (incl.)
 
 
 def _row_offsets(grid_size):
@@ -79,18 +83,26 @@ def build_grid(X, n, cube_size, grid_size):
         .at[sorted_cid].min(slot)
     cube_end = jnp.full((n_cubes + 1,), -1, jnp.int32) \
         .at[sorted_cid].max(slot)
-
-    # Union of the 3 consecutive cubes of each row is one contiguous span.
-    qc = jnp.clip(cid[:, None, None] + _row_offsets(gs)[None], 0, n_cubes - 1)
-    row_start = jnp.min(cube_start[qc], axis=2)  # [n_pad, 9]
-    row_end = jnp.max(cube_end[qc], axis=2)      # [n_pad, 9] inclusive
-    return GridData(order, cid, row_start, row_end)
+    return GridTables(order, cid, cube_start, cube_end)
 
 
-def grid_overflow(grid: GridData, row_cap: int):
+def row_ranges(tables: GridTables, cid_blk, grid_size):
+    """Sorted-order span [rs, re] (inclusive) of each of the 9 neighbour
+    rows for a block of cube ids.  The union of 3 consecutive cubes is one
+    contiguous span of the sorted order."""
+    n_cubes = grid_size ** 3
+    qc = jnp.clip(cid_blk[:, None, None] + _row_offsets(grid_size)[None],
+                  0, n_cubes - 1)
+    rs = jnp.min(tables.cube_start[qc], axis=2)  # [B, 9]
+    re = jnp.max(tables.cube_end[qc], axis=2)    # [B, 9] inclusive
+    return rs, re
+
+
+def grid_overflow(tables: GridTables, grid_size, row_cap):
     """True if any 3-cube row holds more candidates than ``row_cap``
     (the rebuild's analogue of the reference's D_ASSERT capacity checks)."""
-    return jnp.any(grid.row_end - grid.row_start + 1 > row_cap)
+    rs, re = row_ranges(tables, tables.cid, grid_size)
+    return jnp.any(re - rs + 1 > row_cap)
 
 
 def _candidates(order, rs, re, row_cap):
@@ -102,84 +114,87 @@ def _candidates(order, rs, re, row_cap):
     return jidx, valid
 
 
-def _block_sizes(n_pad, want):
-    b = min(want, n_pad)
-    while n_pad % b:
+def _block_size(n, want):
+    b = min(want, n)
+    while n % b:
         b //= 2
     return b
 
 
+def _scan_blocks(eval_block, i_size, B):
+    if i_size == B:
+        return eval_block(jnp.int32(0))
+    starts = jnp.arange(i_size // B, dtype=jnp.int32) * B
+    _, outs = jax.lax.scan(lambda c, s: (c, eval_block(s)), None, starts)
+    flat = lambda a: a.reshape((i_size,) + a.shape[2:])
+    F, sum_f, sum_v, aux = outs
+    return (jax.tree.map(flat, F), flat(sum_f), tuple(map(flat, sum_v)),
+            {k: flat(v) for k, v in aux.items()})
+
+
 def grid_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
-                  grid_size=50, row_cap=16, i_block=4096):
-    """Pairwise sums over grid neighbours with ``dist < cube_size`` cutoff.
+                  grid_size=50, row_cap=32, i_block=4096,
+                  i_offset=0, i_size=None):
+    """Pairwise sums over grid neighbours with ``dist < cube_size`` cutoff,
+    for points ``[i_offset, i_offset + i_size)`` against the full population.
 
     Equivalent of ``Grid_computer::pwints`` + ``compute_cube``
     (ref solvers.cuh:430-499): the grid is rebuilt from scratch on every
     call, exactly like the reference rebuilds per pass.
     """
     n_pad = X.x.shape[0]
-    grid = build_grid(X, n, cube_size, grid_size)
-    active = jnp.arange(n_pad, dtype=jnp.int32) < n
+    if i_size is None:
+        i_size = n_pad
+    tables = build_grid(X, n, cube_size, grid_size)
 
-    B = _block_sizes(n_pad, i_block)
-    nb = n_pad // B
+    B = _block_size(i_size, i_block)
 
-    def eval_block(start):
-        sl = jax.lax.dynamic_slice_in_dim
-        blk = partial(sl, start_index=start, slice_size=B, axis=0)
-        jidx, valid = _candidates(grid.order, blk(grid.row_start),
-                                  blk(grid.row_end), row_cap)
+    def eval_block(local_start):
+        start = i_offset + local_start
+        blk = lambda a: jax.lax.dynamic_slice_in_dim(a, start, B)
+        cid_blk = blk(tables.cid)
+        rs, re = row_ranges(tables, cid_blk, grid_size)
+        jidx, valid = _candidates(tables.order, rs, re, row_cap)
         Xi = jax.tree.map(lambda a: blk(a)[:, None, None], X)
         Xj = jax.tree.map(lambda a: a[jidx], X)
         ovj = (old_v.x[jidx], old_v.y[jidx], old_v.z[jidx])
         i_arr = (start + jnp.arange(B, dtype=jnp.int32))[:, None, None]
-        pair_mask = valid & blk(active)[:, None, None]
+        pair_mask = valid & (i_arr < n)
         return evaluate_pairs(pw_int, pw_friction, Xi, Xj, ovj, i_arr, jidx,
                               pair_mask, sum_axes=(1, 2), cutoff=cube_size)
 
-    if nb == 1:
-        return eval_block(jnp.int32(0))
-
-    starts = jnp.arange(nb, dtype=jnp.int32) * B
-    _, outs = jax.lax.scan(lambda c, s: (c, eval_block(s)), None, starts)
-    flat = lambda a: a.reshape((n_pad,) + a.shape[2:])
-    F, sum_f, sum_v, aux = outs
-    return (jax.tree.map(flat, F), flat(sum_f), tuple(map(flat, sum_v)),
-            {k: flat(v) for k, v in aux.items()})
+    return _scan_blocks(eval_block, i_size, B)
 
 
 def gabriel_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
-                     grid_size=50, row_cap=16, gabriel_coefficient=0.8,
-                     i_block=256):
+                     grid_size=50, row_cap=32, gabriel_coefficient=0.8,
+                     i_block=256, i_offset=0, i_size=None):
     """Grid neighbours pruned to (scaled) Gabriel-graph pairs.
 
     Rebuild of ``compute_cube_gabriel`` (ref solvers.cuh:509-602): collect
     candidates, sort by distance, and keep pair (i, j) only if no *closer*
     candidate k falls inside the sphere of radius
-    ``0.5 * dist_ij * gabriel_coefficient`` around the i-j midpoint.  The
-    candidate-vs-candidate distance matrix is evaluated as a batched Gram
-    matrix so the test runs on the MXU.
+    ``0.5 * dist_ij * gabriel_coefficient`` around the i-j midpoint.
     """
     n_pad = X.x.shape[0]
-    grid = build_grid(X, n, cube_size, grid_size)
-    active = jnp.arange(n_pad, dtype=jnp.int32) < n
+    if i_size is None:
+        i_size = n_pad
+    tables = build_grid(X, n, cube_size, grid_size)
     K = 9 * row_cap
 
-    B = _block_sizes(n_pad, i_block)
-    nb = n_pad // B
+    B = _block_size(i_size, i_block)
 
-    def eval_block(start):
-        sl = jax.lax.dynamic_slice_in_dim
-        blk = partial(sl, start_index=start, slice_size=B, axis=0)
-        jidx, valid = _candidates(grid.order, blk(grid.row_start),
-                                  blk(grid.row_end), row_cap)
+    def eval_block(local_start):
+        start = i_offset + local_start
+        blk = lambda a: jax.lax.dynamic_slice_in_dim(a, start, B)
+        cid_blk = blk(tables.cid)
+        rs, re = row_ranges(tables, cid_blk, grid_size)
+        jidx, valid = _candidates(tables.order, rs, re, row_cap)
         jidx = jidx.reshape(B, K)
-        valid = valid.reshape(B, K) & blk(active)[:, None]
         i_arr = (start + jnp.arange(B, dtype=jnp.int32))[:, None]
+        valid = valid.reshape(B, K) & (i_arr < n)
 
-        xj = X.x[jidx]
-        yj = X.y[jidx]
-        zj = X.z[jidx]
+        xj, yj, zj = X.x[jidx], X.y[jidx], X.z[jidx]
         xi = blk(X.x)[:, None]
         yi = blk(X.y)[:, None]
         zi = blk(X.z)[:, None]
@@ -194,14 +209,13 @@ def gabriel_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
         jidx_s, cand_s, dist_s = take(jidx), take(cand), take(dist)
         xj_s, yj_s, zj_s = take(xj), take(yj), take(zj)
 
-        # Midpoints of each candidate pair with i (ref solvers.cuh:578-579)
-        mids = jnp.stack([(xi + xj_s), (yi + yj_s), (zi + zj_s)],
-                         axis=-1) * 0.5                     # [B, K, 3]
-        cpts = jnp.stack([xj_s, yj_s, zj_s], axis=-1)       # [B, K, 3]
-        prod = jnp.einsum("bmc,bkc->bmk", mids, cpts,
-                          preferred_element_type=jnp.float32)
-        d2 = (jnp.sum(mids * mids, -1)[:, :, None]
-              + jnp.sum(cpts * cpts, -1)[:, None, :] - 2.0 * prod)
+        # Keep (i, j) unless a closer candidate k lies inside the sphere on
+        # the i-j midpoint (ref solvers.cuh:572-597).  Elementwise [B, K, K]
+        # distance evaluation (exact in f32).
+        mx, my, mz = (xi + xj_s) * 0.5, (yi + yj_s) * 0.5, (zi + zj_s) * 0.5
+        d2 = ((mx[:, :, None] - xj_s[:, None, :]) ** 2
+              + (my[:, :, None] - yj_s[:, None, :]) ** 2
+              + (mz[:, :, None] - zj_s[:, None, :]) ** 2)
         radius2 = (0.5 * dist_s * gabriel_coefficient) ** 2  # [B, K]
         m_ids = jnp.arange(K)[:, None]
         k_ids = jnp.arange(K)[None, :]
@@ -216,12 +230,4 @@ def gabriel_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
         return evaluate_pairs(pw_int, pw_friction, Xi, Xj, ovj, i_arr, jidx_s,
                               keep, sum_axes=(1,))
 
-    if nb == 1:
-        return eval_block(jnp.int32(0))
-
-    starts = jnp.arange(nb, dtype=jnp.int32) * B
-    _, outs = jax.lax.scan(lambda c, s: (c, eval_block(s)), None, starts)
-    flat = lambda a: a.reshape((n_pad,) + a.shape[2:])
-    F, sum_f, sum_v, aux = outs
-    return (jax.tree.map(flat, F), flat(sum_f), tuple(map(flat, sum_v)),
-            {k: flat(v) for k, v in aux.items()})
+    return _scan_blocks(eval_block, i_size, B)

@@ -20,8 +20,10 @@ from .common import evaluate_pairs
 __all__ = ["tile_pairwise"]
 
 
-def tile_pairwise(pw_int, pw_friction, X, old_v, n, *, j_block=None):
-    """Compute pairwise sums over all pairs.
+def tile_pairwise(pw_int, pw_friction, X, old_v, n, *, j_block=None,
+                  i_offset=0, i_size=None):
+    """Compute pairwise sums over all pairs for points
+    ``[i_offset, i_offset + i_size)`` (default: everyone) against everyone.
 
     Args:
       X: Pt of ``f32[n_pad]`` field arrays.
@@ -30,15 +32,18 @@ def tile_pairwise(pw_int, pw_friction, X, old_v, n, *, j_block=None):
       j_block: static j-block size; must divide n_pad.  ``None`` chooses
         full-broadcast for small n_pad, 1024-blocks otherwise.
 
-    Returns: (dF (Pt [n_pad]), sum_friction [n_pad], sum_v ([n_pad],)*3,
-      aux dict of [n_pad]).
+    Returns: (dF (Pt [i_size]), sum_friction [i_size], sum_v ([i_size],)*3,
+      aux dict of [i_size]).
     """
     n_pad = X.x.shape[0]
+    if i_size is None:
+        i_size = n_pad
     idx = jnp.arange(n_pad, dtype=jnp.int32)
-    active = idx < n
+    i_idx = i_offset + jnp.arange(i_size, dtype=jnp.int32)
 
-    Xi = jax.tree.map(lambda a: a[:, None], X)
-    i_arr = idx[:, None]
+    blk = lambda a: jax.lax.dynamic_slice_in_dim(a, i_offset, i_size)
+    Xi = jax.tree.map(lambda a: blk(a)[:, None], X)
+    i_arr = i_idx[:, None]
 
     if j_block is None:
         j_block = n_pad if n_pad <= 2048 else 1024
@@ -50,7 +55,7 @@ def tile_pairwise(pw_int, pw_friction, X, old_v, n, *, j_block=None):
         ovj = (old_v.x[jb][None, :], old_v.y[jb][None, :],
                old_v.z[jb][None, :])
         j_arr = jb[None, :]
-        pair_mask = active[:, None] & (jb < n)[None, :]
+        pair_mask = (i_arr < n) & (jb < n)[None, :]
         return evaluate_pairs(pw_int, pw_friction, Xi, Xj, ovj, i_arr, j_arr,
                               pair_mask, sum_axes=(1,))
 

@@ -55,10 +55,12 @@ class TileEngine:
     """All-pairs O(N^2) (ref Tile_computer, solvers.cuh:324-342)."""
     j_block: int | None = None
 
-    def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size):
+    def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
+                 i_offset=0, i_size=None):
         del cube_size  # no cutoff in the all-pairs engine
         return tile_pairwise(pw_int, pw_friction, X, old_v, n,
-                             j_block=self.j_block)
+                             j_block=self.j_block,
+                             i_offset=i_offset, i_size=i_size)
 
 
 @dataclass(frozen=True)
@@ -69,10 +71,12 @@ class GridEngine:
     row_cap: int = 32
     i_block: int = 4096
 
-    def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size):
+    def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
+                 i_offset=0, i_size=None):
         return grid_pairwise(pw_int, pw_friction, X, old_v, n, cube_size,
                              grid_size=self.grid_size, row_cap=self.row_cap,
-                             i_block=self.i_block)
+                             i_block=self.i_block,
+                             i_offset=i_offset, i_size=i_size)
 
 
 @dataclass(frozen=True)
@@ -84,12 +88,13 @@ class GabrielEngine:
     gabriel_coefficient: float = 0.8
     i_block: int = 256
 
-    def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size):
+    def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
+                 i_offset=0, i_size=None):
         return gabriel_pairwise(
             pw_int, pw_friction, X, old_v, n, cube_size,
             grid_size=self.grid_size, row_cap=self.row_cap,
             gabriel_coefficient=self.gabriel_coefficient,
-            i_block=self.i_block)
+            i_block=self.i_block, i_offset=i_offset, i_size=i_size)
 
 
 # --------------------------------------------------------------------------
@@ -316,6 +321,11 @@ class Solution:
         if not isinstance(self.engine, (GridEngine, GabrielEngine)):
             return False
         self._ensure_device()
-        g = build_grid(self.d_X, self.d_n, jnp.float32(self.cube_size),
-                       self.engine.grid_size)
-        return bool(grid_overflow(g, self.engine.row_cap))
+        gs = self.engine.grid_size
+
+        @partial(jax.jit, static_argnums=(2, 3))
+        def _check(X, n, gs, cap, cube_size):
+            return grid_overflow(build_grid(X, n, cube_size, gs), gs, cap)
+
+        return bool(_check(self.d_X, self.d_n, gs, self.engine.row_cap,
+                           jnp.float32(self.cube_size)))
