@@ -1,0 +1,104 @@
+"""Branching morphogenesis on a spheroid (the flagship model).
+
+Rebuild of ``/root/reference/examples/branching.cu`` on
+``yalla_tpu.models.branching``: Turing signaling on the epithelium,
+type-dependent mechanics, gated proliferation with lineage tracing.
+Writes positions/polarity/u/v/type/clone per frame plus the lineage tree.
+
+Usage: python examples/branching.py [n_max] [n_frames]
+(defaults mirror the reference: 500000 cells, 500 frames x 11 substeps)
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yalla_tpu import Property, Solution
+from yalla_tpu.links import Links
+from yalla_tpu.models import branching as B
+from yalla_tpu.solvers import GridEngine
+from yalla_tpu.vtkio import Vtk_output
+
+n_0 = 500
+n_max = int(sys.argv[1]) if len(sys.argv) > 1 else 500000
+n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+substeps = 11
+
+
+def main():
+    p = B.Params()
+    state, cells, engine = B.init_state(n_0, n_max, p, seed=42)
+    frame = B.make_frame(p, engine, substeps=substeps)
+
+    ctype = Property(cells.n_pad, "type")
+    clone = Property(cells.n_pad, "cell_clone")
+
+    with Vtk_output("branching") as output:
+        for t in range(n_frames + 1):
+            # host write of frame t overlaps the async computation of t+1
+            cells.d_X, cells.d_old_v, cells.d_n = \
+                state.X, state.old_v, state.n
+            output.write_positions(cells)
+            output.write_polarity(cells)
+            output.write_field(cells, "u")
+            output.write_field(cells, "v")
+            ctype.h_prop = np.asarray(state.X.ctype).astype(np.int32)
+            clone.h_prop = np.asarray(state.lineage.cell_clone)
+            output.write_property(ctype)
+            output.write_property(clone)
+            state = frame(state, jnp.float32(t / max(n_frames, 1)))
+
+    # Lineage tree output (ref branching.cu:283-339)
+    lin = state.lineage
+    n_tree = int(lin.n_nodes)
+    n_cells_final = int(state.n)
+    h = cells.copy_to_host()
+    total = n_tree + n_cells_final
+    tree = Solution(B.Cell, max(total, 1), solver="grid")
+    branches = Links(max(total, 1), strength=0.0)
+    node_clone = Property(tree.n_pad, "node_clone")
+    node_time = Property(tree.n_pad, "node_time", np.float32)
+    node_type = Property(tree.n_pad, "node_type")
+
+    tree.h_X.x[:n_tree] = np.asarray(lin.node_x)[:n_tree]
+    tree.h_X.y[:n_tree] = np.asarray(lin.node_y)[:n_tree]
+    tree.h_X.z[:n_tree] = np.asarray(lin.node_z)[:n_tree]
+    node_clone.h_prop[:n_tree] = np.asarray(lin.node_clone)[:n_tree]
+    node_time.h_prop[:n_tree] = np.asarray(lin.node_time)[:n_tree]
+    node_type.h_prop[:n_tree] = np.asarray(lin.node_type)[:n_tree]
+    nparent = np.asarray(lin.node_parent)
+    cparent = np.asarray(lin.cell_parent)
+    for i in range(n_tree):
+        if nparent[i] >= 0:
+            branches.h_a[i] = i
+            branches.h_b[i] = nparent[i]
+    sl = slice(n_tree, total)
+    tree.h_X.x[sl] = h.x[:n_cells_final]
+    tree.h_X.y[sl] = h.y[:n_cells_final]
+    tree.h_X.z[sl] = h.z[:n_cells_final]
+    node_clone.h_prop[sl] = np.asarray(lin.cell_clone)[:n_cells_final]
+    node_time.h_prop[sl] = 1.0
+    node_type.h_prop[sl] = np.asarray(h.ctype[:n_cells_final]).astype(np.int32)
+    for i in range(n_cells_final):
+        if cparent[i] >= 0:
+            branches.h_a[n_tree + i] = n_tree + i
+            branches.h_b[n_tree + i] = cparent[i]
+    tree.h_n = total
+    branches.h_n = total
+    tree.copy_to_device()
+    branches.copy_to_device()
+
+    with Vtk_output("branching.tree", verbose=False) as tree_output:
+        tree_output.write_positions(tree)
+        tree_output.write_links(branches)
+        tree_output.write_property(node_clone)
+        tree_output.write_property(node_time)
+        tree_output.write_property(node_type)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Fast-path equivalence tests: the Cartesian precomputed-trig polarity
+forces and the dense lattice engine must reproduce the reference-form
+implementations exactly (same math, different evaluation order)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from helpers import isclose
+from yalla_tpu import Float3, Po_cell, Solution
+from yalla_tpu.inits import random_sphere, set_seed
+from yalla_tpu.ops.common import friction_w_neighbour
+from yalla_tpu.ops.lattice_xla import lattice_heun_steps
+from yalla_tpu.polarity import (bending_force, bending_force_fast,
+                                polarity_precompute)
+
+set_seed(31)
+rng = np.random.default_rng(31)
+
+
+def test_bending_fast_equivalence():
+    n = 256
+    th = np.arccos(2 * rng.random(n) - 1).astype(np.float32)
+    ph = (rng.random(n) * 2 * np.pi - np.pi).astype(np.float32)
+    # include near-pole cases (the gimbal guard path)
+    th[:8] = np.array([0, 1e-12, np.pi, np.pi - 1e-12, 0, 0, 1e-8, 3e-11])
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    Xi = Po_cell(x=jnp.asarray(xyz[:, 0]), y=jnp.asarray(xyz[:, 1]),
+                 z=jnp.asarray(xyz[:, 2]), theta=jnp.asarray(th),
+                 phi=jnp.asarray(ph))
+    r_np = rng.normal(size=(n, 3)).astype(np.float32)
+    dist = jnp.asarray(np.linalg.norm(r_np, axis=1))
+
+    # reference-form (per-pair trig)
+    rth = jnp.asarray(rng.normal(size=n).astype(np.float32) * 0.3)
+    rph = jnp.asarray(rng.normal(size=n).astype(np.float32) * 0.3)
+    r = Po_cell(x=jnp.asarray(r_np[:, 0]), y=jnp.asarray(r_np[:, 1]),
+                z=jnp.asarray(r_np[:, 2]), theta=rth, phi=rph)
+    ref = bending_force(Xi, r, dist)
+
+    # fast path: augment with precomputed trig; r's aug components are
+    # p(Xi) - p(Xj) with Xj = Xi - r, as the engines would compute them
+    from yalla_tpu.dtypes import make_pt
+    aug_i = polarity_precompute(Xi, n)
+    Xj = Po_cell(x=Xi.x - r.x, y=Xi.y - r.y, z=Xi.z - r.z,
+                 theta=Xi.theta - r.theta, phi=Xi.phi - r.phi)
+    aug_j = polarity_precompute(Xj, n)
+    AugT = make_pt("PoAug", "theta", "phi", *aug_i.keys())
+    Xi_a = AugT(*Xi, *aug_i.values())
+    r_a = AugT(*r, *(aug_i[k] - aug_j[k] for k in aug_i))
+    fast = bending_force_fast(Xi_a, r_a, dist)
+
+    for f in ("x", "y", "z", "theta", "phi"):
+        a = np.asarray(getattr(ref, f))
+        b = np.asarray(getattr(fast, f))
+        assert np.allclose(a, b, atol=5e-5, rtol=1e-4), \
+            f"bending fast path differs in {f}: {np.abs(a-b).max()}"
+
+
+def _spring(Xi, r, dist, i, j):
+    valid = (i != j) & (dist < 1.0)
+    safe = jnp.where(dist > 0, dist, 1.0)
+    w = jnp.where(valid, (0.5 - dist) / safe, 0.0)
+    return jax.tree.map(lambda a: jnp.zeros_like(w), Xi)._replace(
+        x=r.x * w, y=r.y * w, z=r.z * w)
+
+
+def test_lattice_matches_tile():
+    """Dense lattice engine (exact rebuild mode) vs all-pairs oracle."""
+    n = 50
+    tile = Solution(Float3, n, solver="tile")
+    random_sphere(0.733333, tile)
+    X0, ov0 = tile.d_X, tile.d_old_v
+    for _ in range(5):
+        tile.take_step(0.1, _spring)
+    ht = tile.copy_to_host()
+
+    X, ov, aux = lattice_heun_steps(
+        5, 1, _spring, friction_w_neighbour, "com", 16, 32, 4,
+        X0, ov0, jnp.int32(n), jnp.float32(0.1), jnp.float32(1.0),
+        jnp.int32(0))
+    assert isclose(np.asarray(X.x)[:n], ht.x[:n]), "lattice disagrees in x"
+    assert isclose(np.asarray(X.y)[:n], ht.y[:n]), "lattice disagrees in y"
+    assert isclose(np.asarray(X.z)[:n], ht.z[:n]), "lattice disagrees in z"
+
+
+def test_lattice_resident_mode():
+    """rebuild_every > 1 stays finite and close for vanishing-at-cutoff
+    forces (relu band)."""
+    from yalla_tpu.inits import relu_force
+    n = 100
+    pts = Solution(Float3, n, solver="tile")
+    random_sphere(0.8, pts)
+    X0, ov0 = pts.d_X, pts.d_old_v
+    for _ in range(8):
+        pts.take_step(0.1, relu_force)
+    ht = pts.copy_to_host()
+
+    X, ov, aux = lattice_heun_steps(
+        8, 4, relu_force, friction_w_neighbour, "com", 16, 16, 4,
+        X0, ov0, jnp.int32(n), jnp.float32(0.1), jnp.float32(1.0),
+        jnp.int32(0))
+    xs = np.asarray(X.x)[:n]
+    assert np.isfinite(xs).all()
+    # relu_force vanishes smoothly at dist=1 -> stale binning error is tiny
+    assert np.abs(xs - ht.x[:n]).max() < 5e-3

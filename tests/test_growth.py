@@ -1,0 +1,98 @@
+"""Tests for the proliferation framework and the flagship branching model:
+prefix-sum slot allocation, field splitting, capacity overflow, lineage
+recording, and a short branching run (growth + sane fields)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yalla_tpu import Float4
+from yalla_tpu.growth import lineage_init, proliferate, record_divisions
+
+
+def _mk_state(n_pad, n):
+    X = Float4(x=jnp.arange(n_pad, dtype=jnp.float32),
+               y=jnp.zeros(n_pad), z=jnp.zeros(n_pad),
+               w=jnp.full(n_pad, 2.0))
+    old_v = Float4(x=jnp.full(n_pad, 0.5), y=jnp.zeros(n_pad),
+                   z=jnp.zeros(n_pad), w=jnp.zeros(n_pad))
+    return X, old_v, jnp.int32(n)
+
+
+def want_all(X, props, rnd, i, n):
+    return i < n
+
+
+def child_half_w(X, props, direction, i):
+    parent = X.replace(w=X.w / 2)
+    child = parent.replace(x=X.x + 0.1 * direction.x)
+    return parent, child
+
+
+def test_proliferate_all_divide():
+    X, old_v, n = _mk_state(16, 4)
+    key = jax.random.PRNGKey(0)
+    X2, ov2, n2, _, info = proliferate(want_all, child_half_w, X, old_v, n,
+                                       key)
+    assert int(n2) == 8
+    assert int(info.n_divided) == 4
+    # conserved field halved in both parent and daughter
+    assert np.allclose(np.asarray(X2.w)[:8], 1.0)
+    # daughters inherit old_v (ref: d_old_v[n] = d_old_v[i])
+    assert np.allclose(np.asarray(ov2.x)[:8], 0.5)
+    # daughter slots n..n+3 assigned in prefix-sum order
+    assert np.allclose(np.asarray(X2.x)[4:8],
+                       np.asarray(X.x)[:4] + 0.1 *
+                       (np.asarray(X2.x)[4:8] - np.asarray(X.x)[:4]) / 0.1)
+
+
+def test_proliferate_capacity_drop():
+    """Divisions that would exceed capacity are dropped, not wrapped."""
+    X, old_v, n = _mk_state(8, 6)
+    X2, ov2, n2, _, info = proliferate(want_all, child_half_w, X, old_v, n,
+                                       jax.random.PRNGKey(1))
+    assert int(n2) == 8  # only 2 slots were available
+    assert int(info.n_divided) == 2
+    # cells whose division was dropped keep their fields unchanged
+    assert np.allclose(np.asarray(X2.w)[2:6], 2.0)
+
+
+def test_lineage_recording():
+    n_pad, n_0 = 16, 4
+    X, old_v, n = _mk_state(n_pad, n_0)
+    lin = lineage_init(32, n_pad, n_0)
+    assert np.array_equal(np.asarray(lin.cell_clone)[:4], [1, 2, 3, 4])
+
+    X2, ov2, n2, _, info = proliferate(want_all, child_half_w, X, old_v, n,
+                                       jax.random.PRNGKey(2))
+    lin = record_divisions(lin, info, X2, jnp.zeros(n_pad, jnp.int32), 0.25)
+    assert int(lin.n_nodes) == 4
+    cp = np.asarray(lin.cell_parent)
+    # each dividing cell and its daughter point at the same new node
+    for i in range(4):
+        assert cp[i] == cp[4 + i] == i
+    # daughters share the parent clone
+    cc = np.asarray(lin.cell_clone)
+    assert np.array_equal(cc[4:8], cc[:4])
+    assert np.allclose(np.asarray(lin.node_time)[:4], 0.25)
+
+
+def test_branching_model_short():
+    from yalla_tpu.models import branching as B
+    p = B.Params(prolif_threshold=-100.0)  # let mesenchyme divide freely
+    state, cells, engine = B.init_state(
+        100, 300, p, engine=B.GridEngine(grid_size=32, row_cap=32), seed=3)
+    n0 = int(state.n)
+    assert n0 == 100
+    # the shell is epithelial, the core stays mesenchymal
+    ctype = np.asarray(state.X.ctype)
+    assert 0 < ctype.sum() < 100
+
+    frame = B.make_frame(p, engine, substeps=5)
+    state = frame(state, jnp.float32(0.1))
+    state = frame(state, jnp.float32(0.2))
+    n_final = int(state.n)
+    assert n_final > n0, "no proliferation happened"
+    assert n_final <= cells.n_pad
+    x = np.asarray(state.X.x)[:n_final]
+    assert np.all(np.isfinite(x)), "NaN/inf positions"
+    assert int(state.lineage.n_nodes) == n_final - n0

@@ -74,21 +74,28 @@ def test_grid_tetrahedron():
 
 
 def test_compare_methods():
+    """Tile, grid, and sorted-window engines must agree point by point on
+    the same IC (ref test_solvers.cu:102-125, extended to all engines)."""
     n = 50
     tile = Solution(Float3, n, solver="tile")
-    grid = Solution(Float3, n, solver="grid")
+    others = {name: Solution(Float3, n, solver=name)
+              for name in ("grid", "window")}
     random_sphere(0.733333, tile)
-    grid.h_X.x[:] = tile.h_X.x
-    grid.h_X.y[:] = tile.h_X.y
-    grid.h_X.z[:] = tile.h_X.z
-    grid.copy_to_device()
+    for o in others.values():
+        o.h_X.x[:] = tile.h_X.x
+        o.h_X.y[:] = tile.h_X.y
+        o.h_X.z[:] = tile.h_X.z
+        o.copy_to_device()
     for _ in range(2):
         tile.take_step(0.1, clipped_spring)
-        grid.take_step(0.1, clipped_spring)
-    ht, hg = tile.copy_to_host(), grid.copy_to_host()
-    assert isclose(ht.x[:n], hg.x[:n]), "Methods disagree in x"
-    assert isclose(ht.y[:n], hg.y[:n]), "Methods disagree in y"
-    assert isclose(ht.z[:n], hg.z[:n]), "Methods disagree in z"
+        for o in others.values():
+            o.take_step(0.1, clipped_spring)
+    ht = tile.copy_to_host()
+    for name, o in others.items():
+        hg = o.copy_to_host()
+        assert isclose(ht.x[:n], hg.x[:n]), f"{name} disagrees in x"
+        assert isclose(ht.y[:n], hg.y[:n]), f"{name} disagrees in y"
+        assert isclose(ht.z[:n], hg.z[:n]), f"{name} disagrees in z"
 
 
 def _push(X, n):

@@ -88,7 +88,9 @@ def proliferate(want_fn, child_fn, X, old_v, n, key, props=()):
     X_new = jax.tree.map(place, X, X_parent, X_child)
     old_v_new = jax.tree.map(
         lambda a: a.at[tgt].set(a, mode="drop"), old_v)
-    props_new = tuple(p.at[tgt].set(p, mode="drop") for p in props)
+    # scalars pass through untouched (e.g. dynamic rates for want_fn)
+    props_new = tuple(p if jnp.ndim(p) == 0 else p.at[tgt].set(p, mode="drop")
+                      for p in props)
     n_divided = jnp.sum(ok.astype(jnp.int32))
     return (X_new, old_v_new, n + n_divided, props_new,
             DivisionInfo(ok=ok, child_idx=child_idx, n_divided=n_divided))

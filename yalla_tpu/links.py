@@ -90,6 +90,55 @@ class Links:
     def state(self):
         return (self.d_a, self.d_b, self.d_n, jnp.float32(self.strength))
 
+    def update(self, rule, cells):
+        """Protrusion rewiring (pattern P2 of the reference models, e.g.
+        ``examples/intercalation.cu:32-56``): apply a jitted per-link rule
+        ``rule(a, b, X, n_cells, key) -> (a', b')`` that may draw randoms
+        with shapes ``[n_pad]`` from its key.  Replaces the per-model
+        ``update_protrusions`` CUDA kernels with their curand state."""
+        fn = _rule_jit(rule)
+        self.d_a, self.d_b = fn(self.d_a, self.d_b, self.d_n, cells.d_X,
+                                cells.d_n, self.next_key())
+
+
+def random_cube_neighbours(X, n_cells, cube_size, grid_size, src, key):
+    """For each source cell, draw a random cell from a random one of its 27
+    neighbour cubes -- the protrusion-proposal pattern of the reference's
+    grid-sampled rewiring kernels (``examples/growth_w_wall.cu:99-136``,
+    ``intercalation_w_gradient.cu:119-173``).
+
+    Returns (candidate ids, found mask).  Use inside a ``Links.update``
+    rule; builds the spatial hash on the fly.
+    """
+    from .ops.grid_xla import build_grid, _row_offsets
+    m = src.shape[0]
+    gs = grid_size
+    n_cubes = gs ** 3
+    tables = build_grid(X, n_cells, cube_size, gs)
+    k1, k2 = jax.random.split(key)
+    offs27 = _row_offsets(gs).reshape(27)
+    pick_cube = jax.random.randint(k1, (m,), 0, 27)
+    c = jnp.clip(tables.cid[src] + offs27[pick_cube], 0, n_cubes - 1)
+    start = tables.cube_start[c]
+    end = tables.cube_end[c]
+    cnt = end - start + 1
+    u = jax.random.uniform(k2, (m,))
+    pick = start + jnp.minimum((u * cnt).astype(jnp.int32),
+                               jnp.maximum(cnt - 1, 0))
+    n_pad = tables.order.shape[0]
+    cand = tables.order[jnp.clip(pick, 0, n_pad - 1)]
+    return cand, cnt >= 1
+
+
+@lru_cache(maxsize=None)
+def _rule_jit(rule):
+    @jax.jit
+    def fn(a, b, n_links, X, n_cells, key):
+        live = jnp.arange(a.shape[0], dtype=jnp.int32) < n_links
+        a2, b2 = rule(a, b, X, n_cells, key)
+        return jnp.where(live, a2, a), jnp.where(live, b2, b)
+    return fn
+
 
 def linear_force(Xa, Xb, r, dist, strength):
     """Unit-vector spring of constant magnitude (ref links.cuh:99-111).

@@ -1,0 +1,231 @@
+"""Flagship model: branching morphogenesis on a spheroid.
+
+Rebuild of ``/root/reference/examples/branching.cu``: a mesenchymal core
+with an epithelial surface running Meinhardt activator-inhibitor kinetics;
+the inhibitor diffuses into the mesenchyme and gates proliferation, driving
+branch outgrowth.  Cell lineage is traced through every division.
+
+TPU-native design notes:
+* cell type lives *in the point type* (field ``ctype``: 0 mesenchyme,
+  1 epithelium) with zero dynamics, so the pairwise force can branch on
+  type without device-global property bindings
+  (replaces ``cudaMemcpyToSymbol(d_type, ...)``, branching.cu:180).
+* neighbour counters are aux-channel reductions, not atomic side effects
+  (replaces ``atomicAdd(&d_epi_nbs[i], 1)``, branching.cu:104-107).
+* proliferation uses the prefix-sum division framework
+  (``yalla_tpu.growth``) instead of ``atomicAdd`` slot allocation.
+* one "frame" = ``substeps`` proliferate+integrate iterations fused into a
+  single jitted ``lax.scan`` -- the reference's inner loop
+  (branching.cu:263-270) with zero per-step host round trips.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..dtypes import make_pt
+from ..growth import Lineage, lineage_init, proliferate, record_divisions
+from ..polarity import bending_force_fast, polarity_precompute
+from ..solvers import GridEngine, friction_w_neighbour, heun_step
+
+Cell = make_pt("BranchingCell", "theta", "phi", "u", "v", "ctype")
+
+MESENCHYME, EPITHELIUM = 0.0, 1.0
+
+
+class Params(NamedTuple):
+    r_max: float = 1.0
+    dt: float = 0.2
+    lam: float = 0.0075          # Turing time scale (branching.cu:22)
+    D_u: float = 0.001
+    D_v: float = 0.2
+    f_v: float = 1.0
+    f_u: float = 80.0
+    g_u: float = 80.0
+    m_u: float = 0.25
+    m_v: float = 0.75
+    s_u: float = 0.05
+    epi_proliferation_rate: float = 0.2
+    mes_proliferation_rate: float = 0.1
+    prolif_threshold: float = 1150.0  # v conc. gating mesenchymal division
+    mean_distance: float = 0.75
+
+
+class State(NamedTuple):
+    X: Cell
+    old_v: object
+    n: jnp.ndarray
+    lineage: Lineage
+    epi_nbs: jnp.ndarray   # aux counters from the last force pass
+    mes_nbs: jnp.ndarray
+    key: jnp.ndarray
+
+
+def make_force(p: Params):
+    def force(Xi, r, dist, i, j):
+        both = Xi.ctype * (Xi.ctype - r.ctype)     # 1 iff both epithelial
+        epi_i = Xi.ctype
+        same = r.ctype == 0.0
+
+        diag = i == j
+        # Meinhardt kinetics on the epithelium only (branching.cu:66-77)
+        du_r = p.lam * ((p.f_u * Xi.u * Xi.u) / (1 + p.f_v * Xi.v)
+                        - p.m_u * Xi.u + p.s_u)
+        dv_r = p.lam * (p.g_u * Xi.u * Xi.u - p.m_v * Xi.v)
+        du_r = jnp.where(-du_r > Xi.u, 0.0, du_r)  # clamp: no negatives
+        dv_r = jnp.where(-dv_r > Xi.v, 0.0, dv_r)
+        react = diag & (epi_i == EPITHELIUM)
+        du = jnp.where(react, du_r, 0.0)
+        dv = jnp.where(react, dv_r, 0.0)
+
+        # Mechanics: type-dependent ReLU band (branching.cu:82-87)
+        near = (~diag) & (dist < p.r_max)
+        F_same = jnp.maximum(0.7 - dist, 0) * 2 - jnp.maximum(dist - 0.8, 0)
+        F_diff = jnp.maximum(0.8 - dist, 0) * 2 - jnp.maximum(dist - 0.9, 0)
+        F = jnp.where(same, F_same, F_diff)
+        safe = jnp.where(dist > 0, dist, 1.0)
+        w = jnp.where(near, F / safe, 0.0)
+        fx, fy, fz = r.x * w, r.y * w, r.z * w
+
+        # Diffusion between epithelial pairs; v also leaks into the
+        # mesenchyme to license proliferation (branching.cu:91-103)
+        epi_pair = near & (both == 1.0)
+        du_d = jnp.where(epi_pair, -p.D_u * r.u, 0.0)
+        dv_d = jnp.where(epi_pair | (near & (both != 1.0)), -p.D_v * r.v, 0.0)
+        du_d = jnp.where(-du_d > Xi.u, 0.0, du_d)
+        dv_d = jnp.where(-dv_d > Xi.v, 0.0, dv_d)
+        du = du + du_d
+        dv = dv + dv_d
+
+        # Epithelial bending stiffness (branching.cu:100); Cartesian fast
+        # path on the precomputed per-cell polarity trig
+        bend = bending_force_fast(Xi, r, jnp.where(near, dist, 1.0))
+        bw = jnp.where(epi_pair, 0.2, 0.0)
+        fx = fx + bend.x * bw
+        fy = fy + bend.y * bw
+        fz = fz + bend.z * bw
+        dth = bend.theta * bw
+        dph = bend.phi * bw
+
+        zero = jnp.zeros_like(dist)
+        dF = Cell(x=fx, y=fy, z=fz, theta=dth, phi=dph, u=du, v=dv,
+                  ctype=zero)
+        Xj_epi = Xi.ctype - r.ctype
+        aux = {
+            "epi_nbs": jnp.where(near & (Xj_epi == EPITHELIUM), 1.0, 0.0),
+            "mes_nbs": jnp.where(near & (Xj_epi == MESENCHYME), 1.0, 0.0),
+        }
+        return dF, aux
+
+    return force
+
+
+def make_want_fn(p: Params):
+    def want(X, props, rnd, i, n):
+        epi_nbs, mes_nbs = props
+        guard = i < (n * (1 - p.epi_proliferation_rate)).astype(jnp.int32)
+        mes_ok = ((X.ctype == MESENCHYME) & (X.v >= p.prolif_threshold)
+                  & (rnd <= p.mes_proliferation_rate))
+        epi_ok = ((X.ctype == EPITHELIUM) & (epi_nbs <= 5) & (mes_nbs > 0)
+                  & (rnd <= p.epi_proliferation_rate))
+        return guard & (mes_ok | epi_ok)
+    return want
+
+
+def make_child_fn(p: Params):
+    def child(X, props, direction, i):
+        off = p.mean_distance / 4
+        parent = X.replace(u=X.u / 2, v=X.v / 2)  # conserved species halve
+        daughter = parent.replace(x=X.x + off * direction.x,
+                                  y=X.y + off * direction.y,
+                                  z=X.z + off * direction.z)
+        return parent, daughter
+    return child
+
+
+def init_state(n_0, n_max, p: Params = Params(), engine: GridEngine = None,
+               seed=0, lineage_cap=None):
+    """Initial condition: relaxed mesenchymal ball, outer shell converted to
+    epithelium with radial polarity and noisy morphogen seed
+    (branching.cu:176-254).  Returns (State, Solution, engine)."""
+    import numpy as np
+
+    from ..inits import relaxed_sphere, set_seed
+    from ..solvers import Solution
+
+    if engine is None:
+        engine = GridEngine(grid_size=100, row_cap=32)
+    rng = np.random.default_rng(seed)
+
+    cells = Solution(Cell, n_max, engine=engine, cube_size=p.r_max)
+    cells.h_n = n_0
+    relaxed_sphere(p.mean_distance, cells, rng=rng)
+    cells.copy_to_host()
+    n_pad = cells.n_pad
+
+    # Mesenchymal-neighbour counting pre-pass (take_step with dt = 0,
+    # branching.cu:241-242)
+    force = make_force(p)
+    aux = cells.take_step(0.0, force, precompute=polarity_precompute)
+    mes_nbs = np.asarray(aux["mes_nbs"])
+
+    # Surface cells (few mesenchymal neighbours) become epithelium with
+    # radial apical-basal polarity (branching.cu:243-254).  The reference
+    # threshold is 20 but its pre-pass counters accumulate over BOTH Heun
+    # passes (no reset hook is passed at branching.cu:241-242); our aux
+    # channel counts one pass, so the equivalent threshold is 10.
+    h = cells.h_X
+    surface = (mes_nbs < 10) & (np.arange(n_pad) < n_0)
+    r = np.sqrt(h.x ** 2 + h.y ** 2 + h.z ** 2)
+    r = np.where(r > 0, r, 1.0)
+    h.ctype[surface] = EPITHELIUM
+    h.theta[surface] = np.arccos(np.clip(h.z / r, -1, 1))[surface]
+    h.phi[surface] = np.arctan2(h.y, h.x)[surface]
+    h.u[surface] = (rng.random(n_pad)[surface] / 5) - 0.1
+    h.v[surface] = (rng.random(n_pad)[surface] / 5) - 0.1
+    cells.copy_to_device()
+
+    cap = lineage_cap if lineage_cap is not None else 2 * n_pad
+    state = State(
+        X=cells.d_X, old_v=cells.d_old_v, n=cells.d_n,
+        lineage=lineage_init(cap, n_pad, n_0),
+        epi_nbs=jnp.zeros(n_pad), mes_nbs=jnp.zeros(n_pad),
+        key=jax.random.PRNGKey(seed),
+    )
+    return state, cells, engine
+
+
+def make_frame(p: Params, engine: GridEngine, substeps=11):
+    """One output frame: ``substeps`` x (proliferate; integrate), fused.
+
+    Mirrors the reference's calculation thread (branching.cu:263-270)."""
+    force = make_force(p)
+    want = make_want_fn(p)
+    child = make_child_fn(p)
+
+    @partial(jax.jit, static_argnums=())
+    def frame(state: State, time_progression):
+        def body(carry, key):
+            X, old_v, n, lin, epi_nbs, mes_nbs = carry
+            X, old_v, n, (epi_nbs, mes_nbs), info = proliferate(
+                want, child, X, old_v, n, key, props=(epi_nbs, mes_nbs))
+            lin = record_divisions(lin, info, X, X.ctype.astype(jnp.int32),
+                                   time_progression)
+            X, old_v, aux = heun_step(
+                engine, force, friction_w_neighbour, None, "com",
+                X, old_v, n, jnp.float32(p.dt), jnp.float32(p.r_max),
+                jnp.int32(0), None, polarity_precompute)
+            return (X, old_v, n, lin, aux["epi_nbs"], aux["mes_nbs"]), None
+
+        keys = jax.random.split(state.key, substeps + 1)
+        carry = (state.X, state.old_v, state.n, state.lineage,
+                 state.epi_nbs, state.mes_nbs)
+        carry, _ = jax.lax.scan(body, carry, keys[1:])
+        X, old_v, n, lin, epi_nbs, mes_nbs = carry
+        return State(X=X, old_v=old_v, n=n, lineage=lin,
+                     epi_nbs=epi_nbs, mes_nbs=mes_nbs, key=keys[0])
+
+    return frame

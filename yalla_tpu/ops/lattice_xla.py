@@ -1,0 +1,322 @@
+"""Dense cube-lattice engine: the TPU performance path for large N.
+
+Same physics as the spatial-hash grid engine (rebuilding ``Grid_computer``
+semantics from ``/root/reference/include/solvers.cuh:345-502``), laid out
+for TPU memory behaviour.  XLA:TPU random gathers/scatters run at ~1e8
+elements/s, so ANY per-pair gather formulation is bandwidth-dead at 500k
+cells (~0.5e9 gathered elements per pass).  Here the population lives in a
+dense fixed-capacity cell list:
+
+    T[field][gs, gs, gs, C]   (C = per-cube capacity; empty slots masked)
+
+and the 27-neighbour-cube sweep becomes a *27-point shifted-slice stencil*
+-- contiguous reads only, dense [.., C, C] pair blocks on the VPU, zero
+gathers in the force pass.  Translation between stable-id arrays and the
+lattice happens once per rebuild; ``lattice_heun_steps`` keeps the state
+lattice-resident for ``rebuild_every`` steps (the reference's potentials
+vanish at the cutoff, so a brief stale binning has negligible force error;
+use rebuild_every=1 for exactness).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..dtypes import Float3
+from .common import evaluate_pairs, mask_tree
+
+__all__ = ["LatticeLayout", "lattice_build", "lattice_unbuild",
+           "lattice_pairwise_resident", "lattice_heun_steps",
+           "lattice_overflow_count"]
+
+_OFFSETS = [(dz, dy, dx)
+            for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+class LatticeLayout(NamedTuple):
+    T: object            # Pt of f32[n_slots]
+    Tov: object          # Float3 of f32[n_slots] (old_v)
+    pid: jnp.ndarray     # int32[n_slots], stable id; n_pad = empty
+    slot_of: jnp.ndarray  # int32[n_pad], slot per stable id; n_slots = none
+    n_dropped: jnp.ndarray  # int32: points that overflowed cube capacity
+
+
+def _cube_ids(X, n, cube_size, grid_size):
+    n_pad = X.x.shape[0]
+    gs = grid_size
+    active = jnp.arange(n_pad, dtype=jnp.int32) < n
+
+    def coord(v):
+        c = jnp.floor(v / cube_size).astype(jnp.int32) + gs // 2
+        return jnp.clip(c, 0, gs - 1)
+
+    cid = coord(X.x) + coord(X.y) * gs + coord(X.z) * gs * gs
+    return jnp.where(active, cid, gs * gs * gs)
+
+
+def lattice_build(X, old_v, n, cube_size, grid_size, capacity):
+    """Sort by cube id and pour points into the dense lattice.
+
+    Gather-only construction (TPU scatters are slow at this scale):
+    src[c, k] = cube_start[c] + k indexes the sorted order, where
+    cube_start comes from one vectorized searchsorted.
+    """
+    n_pad = X.x.shape[0]
+    gs, C = grid_size, capacity
+    n_cubes = gs * gs * gs
+    cid = _cube_ids(X, n, cube_size, grid_size)
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    sorted_cid, order = jax.lax.sort((cid, iota), num_keys=1)
+
+    cube_start = jnp.searchsorted(sorted_cid,
+                                  jnp.arange(n_cubes + 1, dtype=jnp.int32)
+                                  ).astype(jnp.int32)
+    # src per slot: [n_cubes, C] by broadcast -- no gather
+    src = cube_start[:-1, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
+    valid = src < cube_start[1:, None]
+    src = jnp.where(valid, src, n_pad - 1).reshape(-1)
+    valid = valid.reshape(-1)
+
+    sorted_of = lambda a: a[order]          # stable -> sorted (n gathers)
+    to_slots = lambda s: jnp.where(valid, s[src], 0.0)
+
+    T = jax.tree.map(lambda a: to_slots(sorted_of(a)), X)
+    Tov = jax.tree.map(lambda a: to_slots(sorted_of(a)), old_v)
+    pid = jnp.where(valid, order[src], n_pad)
+
+    # slot per stable id, via rank arithmetic + one inverse permutation
+    first = jnp.concatenate([jnp.ones(1, bool),
+                             sorted_cid[1:] != sorted_cid[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(first, iota, 0))
+    rank = iota - seg_start                      # per sorted position
+    _, inv_order = jax.lax.sort((order, iota), num_keys=1)
+    rank_of = rank[inv_order]
+    ok = (rank_of < C) & (iota < n)
+    slot_of = jnp.where(ok, cid * C + rank_of, n_cubes * C)
+    n_dropped = jnp.sum((rank >= C) & (sorted_cid < n_cubes))
+    return LatticeLayout(T=T, Tov=Tov, pid=pid, slot_of=slot_of,
+                         n_dropped=n_dropped)
+
+
+def lattice_unbuild(layout: LatticeLayout, X, old_v):
+    """Back to stable-id arrays; untouched entries (inactive or dropped)
+    keep their previous values."""
+    n_slots = layout.pid.shape[0]
+    ok = layout.slot_of < n_slots
+    pick = jnp.where(ok, layout.slot_of, 0)
+    take = lambda new, old: jnp.where(ok, new[pick], old)
+    X_new = jax.tree.map(take, layout.T, X)
+    ov_new = jax.tree.map(take, layout.Tov, old_v)
+    return X_new, ov_new
+
+
+def lattice_overflow_count(layout):
+    return layout.n_dropped
+
+
+def lattice_pairwise_resident(pw_int, pw_friction, layout, n, cube_size, *,
+                              grid_size, capacity, z_block):
+    """Pairwise sums in lattice layout.
+
+    Lane-aligned formulation: fields are viewed as ``[gs_z, gs_y, gs_x*C]``
+    so the minor (lane) dimension is the whole x-row of slots.  For each of
+    the 9 (dz, dy) neighbour rows, the 3 x-cubes' candidates are exactly the
+    x-flat shifts ``r in [-2C+1, 2C-1]`` of that row; cube membership per
+    shift is a C-periodic constant mask.  Every pair term is an elementwise
+    op on ``[z_block, gs, gs*C]`` tiles -- no gathers, no tiny minor dims.
+    """
+    gs, C = grid_size, capacity
+    n_slots = layout.pid.shape[0]
+    n_pad = layout.slot_of.shape[0]  # empty-slot sentinel value in pid
+    occ = layout.pid < n_pad
+    W = gs * C                      # flat x-row width
+    PAD = 2 * C                     # x halo for shifts
+
+    def row_view(a):
+        return a.reshape(gs, gs, W)
+
+    def padded(a, fill=0):
+        return jnp.pad(row_view(a), ((1, 1), (1, 1), (PAD, PAD)),
+                       constant_values=fill)
+
+    P = jax.tree.map(padded, layout.T)
+    Pov = Float3(padded(layout.Tov.x), padded(layout.Tov.y),
+                 padded(layout.Tov.z))
+    Pocc = padded(occ, False)
+    Ppid = padded(layout.pid, n_pad)
+
+    # C-periodic cube-membership pattern per shift r: slot c of a cube may
+    # pair with slot at flat offset r iff (c + r) falls in cubes -1..+1.
+    lane_c = jnp.arange(W, dtype=jnp.int32) % C
+
+    zb = z_block
+    assert gs % zb == 0
+    nz = gs // zb
+    # All (dz, dy, x-shift) partner offsets, scanned (not unrolled: the
+    # body compiles once; 9 * (4C - 1) iterations at run time).
+    shifts = list(range(-(2 * C - 1), 2 * C))
+    combos = [(dz, dy, r) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+              for r in shifts]
+    dzs = jnp.asarray([c[0] for c in combos], jnp.int32)
+    dys = jnp.asarray([c[1] for c in combos], jnp.int32)
+    rss = jnp.asarray([c[2] for c in combos], jnp.int32)
+
+    def eval_slab(zi):
+        z0 = zi * zb
+        isl = lambda a: jax.lax.dynamic_slice(
+            a, (z0 + 1, 1, PAD), (zb, gs, W))
+        Xi = jax.tree.map(isl, P)
+        occ_i = isl(Pocc)
+        i_ids = isl(Ppid)
+
+        def one_offset(acc, offs):
+            dz, dy, r = offs
+            jsl = lambda a: jax.lax.dynamic_slice(
+                a, (z0 + 1 + dz, 1 + dy, PAD + r), (zb, gs, W))
+            # x-cube offset of the partner slot, per lane (C-periodic)
+            dcube = (lane_c + r) // C
+            in_x = (dcube >= -1) & (dcube <= 1)
+            Xj = jax.tree.map(jsl, P)
+            ovj = (jsl(Pov.x), jsl(Pov.y), jsl(Pov.z))
+            pair_mask = occ_i & jsl(Pocc) & in_x[None, None, :]
+            out = evaluate_pairs(pw_int, pw_friction, Xi, Xj, ovj,
+                                 i_ids, jsl(Ppid), pair_mask,
+                                 sum_axes=(), cutoff=cube_size)
+            return (jax.tree.map(jnp.add, acc[0], out[0]),
+                    acc[1] + out[1],
+                    tuple(a + b for a, b in zip(acc[2], out[2])),
+                    {k: acc[3][k] + out[3][k] for k in acc[3]}), None
+
+        zero = jnp.zeros((zb, gs, W), jnp.float32)
+        aux_probe = pw_int(Xi, Xi - Xi, zero, i_ids, i_ids)
+        aux0 = ({k: zero for k in aux_probe[1]}
+                if isinstance(aux_probe, tuple) and len(aux_probe) == 2
+                and isinstance(aux_probe[1], dict) else {})
+        acc0 = (jax.tree.map(lambda a: zero, Xi), zero,
+                (zero, zero, zero), aux0)
+        acc, _ = jax.lax.scan(one_offset, acc0, (dzs, dys, rss))
+        return acc
+
+    _, outs = jax.lax.scan(lambda c, z: (c, eval_slab(z)), None,
+                           jnp.arange(nz, dtype=jnp.int32))
+    flat = lambda a: a.reshape((n_slots,) + a.shape[4:])
+    F, sum_f, sum_v, aux = outs
+    return (jax.tree.map(flat, F), flat(sum_f), tuple(map(flat, sum_v)),
+            {k: flat(v) for k, v in aux.items()})
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 14))
+def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
+                       grid_size, capacity, z_block,
+                       X, old_v, n, dt, cube_size, fix_point,
+                       precompute=None):
+    """``n_steps`` Heun steps with lattice-resident state.
+
+    Same integration semantics as ``solvers.heun_steps`` (COM/point fixes,
+    friction-weighted velocity mixing), with the pair pass on the dense
+    lattice.  ``rebuild_every == 1`` rebuilds the binning before *every
+    pairwise pass* -- bit-matching the reference's per-pass ``grid.build``
+    (solvers.cuh:494).  ``rebuild_every > 1`` keeps the state
+    lattice-resident between rebuilds: cheaper, and physically equivalent
+    for forces that vanish at the cutoff (all the reference potentials do).
+    """
+    assert n_steps % rebuild_every == 0
+    gs, C = grid_size, capacity
+    occ_of = lambda lay: lay.pid < lay.slot_of.shape[0]
+
+    def deriv(lay, T, n):
+        from ..solvers import augment, truncate_aug
+        orig_type = type(T)
+        # derived per-point fields computed in slot layout (cheap,
+        # garbage in empty slots is masked by occupancy)
+        lay = lay._replace(T=augment(T, n, precompute))
+        F, sum_f, sum_v, aux = lattice_pairwise_resident(
+            pw_int, pw_friction, lay, n, cube_size,
+            grid_size=gs, capacity=C, z_block=z_block)
+        F = truncate_aug(F, orig_type)
+        inv = jnp.where(sum_f > 0, 1.0 / jnp.where(sum_f > 0, sum_f, 1.0),
+                        0.0)
+        dX = F.replace(x=F.x + sum_v[0] * inv,
+                       y=F.y + sum_v[1] * inv,
+                       z=F.z + sum_v[2] * inv)
+        occ = occ_of(lay)
+        dX = mask_tree(dX, occ)
+        n_occ = jnp.sum(occ)
+
+        def com(a):
+            return jnp.sum(jnp.where(occ, a, 0.0)) / jnp.maximum(n_occ, 1)
+
+        def at_point(a):
+            # value at the pinned stable id's slot
+            sel = lay.pid == fix_point
+            return jnp.sum(jnp.where(sel, a, 0.0))
+
+        if fix_mode == "com":
+            fx, fy, fz = com(dX.x), com(dX.y), com(dX.z)
+        elif fix_mode == "point":
+            fx, fy, fz = at_point(dX.x), at_point(dX.y), at_point(dX.z)
+        elif fix_mode == "com_z":
+            fx, fy, fz = at_point(dX.x), at_point(dX.y), com(dX.z)
+        else:
+            raise ValueError(fix_mode)
+        dX = dX.replace(x=jnp.where(occ, dX.x - fx, 0.0),
+                        y=jnp.where(occ, dX.y - fy, 0.0),
+                        z=jnp.where(occ, dX.z - fz, 0.0))
+        return dX, aux
+
+    def to_stable(lay, tree_slots, fill=0.0):
+        n_slots = lay.pid.shape[0]
+        ok = lay.slot_of < n_slots
+        pick = jnp.where(ok, lay.slot_of, 0)
+        return jax.tree.map(lambda a: jnp.where(ok, a[pick], fill),
+                            tree_slots)
+
+    def chunk_exact(carry, _):
+        """rebuild_every == 1: fresh binning per pass (reference-exact)."""
+        X, old_v = carry
+
+        def dstable(Xc):
+            lay = lattice_build(Xc, old_v, n, cube_size, gs, C)
+            dXs, aux_s = deriv(lay, lay.T, n)
+            return to_stable(lay, dXs), to_stable(lay, aux_s)
+
+        d1, _ = dstable(X)
+        X1 = jax.tree.map(lambda a, b: a + b * dt, X, d1)
+        d2, aux = dstable(X1)
+        X_new = jax.tree.map(lambda a, b, c: a + (b + c) * (0.5 * dt),
+                             X, d1, d2)
+        ov = Float3(x=(d1.x + d2.x) * 0.5, y=(d1.y + d2.y) * 0.5,
+                    z=(d1.z + d2.z) * 0.5)
+        return (X_new, ov), aux
+
+    def chunk(carry, _):
+        X, old_v = carry
+        lay = lattice_build(X, old_v, n, cube_size, gs, C)
+
+        def step(c, _):
+            T, Tov = c
+            lay_t = lay._replace(Tov=Tov)
+            d1, _ = deriv(lay_t, T, n)
+            T1 = jax.tree.map(lambda a, b: a + b * dt, T, d1)
+            d2, aux = deriv(lay_t, T1, n)
+            T_new = jax.tree.map(lambda a, b, c2: a + (b + c2) * (0.5 * dt),
+                                 T, d1, d2)
+            ov_new = Float3(x=(d1.x + d2.x) * 0.5, y=(d1.y + d2.y) * 0.5,
+                            z=(d1.z + d2.z) * 0.5)
+            return (T_new, ov_new), aux
+
+        (T, Tov), auxs = jax.lax.scan(step, (lay.T, lay.Tov), None,
+                                      length=rebuild_every)
+        lay = lay._replace(T=T, Tov=Tov)
+        X, old_v = lattice_unbuild(lay, X, old_v)
+        # aux accumulators back to stable-id order
+        aux_last = to_stable(lay, jax.tree.map(lambda a: a[-1], auxs))
+        return (X, old_v), aux_last
+
+    body = chunk_exact if rebuild_every == 1 else chunk
+    (X, old_v), auxs = jax.lax.scan(body, (X, old_v), None,
+                                    length=n_steps // rebuild_every)
+    return X, old_v, jax.tree.map(lambda a: a[-1], auxs)

@@ -140,6 +140,78 @@ def apical_constriction_force(Xi, r, dist, pref_angle, axis=DEFAULT_AXIS):
     return dF.replace(x=fx, y=fy, z=fz)
 
 
+# ---------------------------------------------------------------------------
+# Cartesian fast path: trig per POINT instead of per PAIR.
+#
+# Every angular force above is an analytic function of the per-point polarity
+# vector p_i = (sin t cos f, sin t sin f, cos t) and r-hat.  Precomputing p_i
+# once per cell (``polarity_precompute``) turns the per-pair evaluation into
+# pure arithmetic -- identical math, ~20x fewer transcendentals in the hot
+# loop (bending dominated the flagship model's step time on TPU).
+# ---------------------------------------------------------------------------
+
+def polarity_precompute(X, n, axis=DEFAULT_AXIS, prefix="p"):
+    """Per-cell polarity trig as derived fields
+    {px, py, pz, pcf, psf, pst}: the unit vector, cos(phi) / sin(phi),
+    and *signed* sin(theta) (matching the reference's division by the
+    signed value near the poles, polarity.cuh:56-58).
+
+    Use as the ``precompute`` hook of the solvers; the fields flow through
+    Xi / Xj / r in any engine.
+    """
+    th, ph = _angles(X, axis)
+    cf, sf = jnp.cos(ph), jnp.sin(ph)
+    st = jnp.sin(th)
+    return {prefix + "x": st * cf, prefix + "y": st * sf,
+            prefix + "z": jnp.cos(th), prefix + "cf": cf, prefix + "sf": sf,
+            prefix + "st": st}
+
+
+def _unidir_from_vec(pz, st, cf, sf, rx, ry, rz, dist):
+    """unidirectional_polarization_force(Xi, r_hat) from the precomputed
+    per-point trig: d_theta = (cos t (cf rx + sf ry) - sin t rz) / d,
+    d_phi = (cf ry - sf rx) / (d sin t) with the reference's
+    |sin theta| > 1e-10 gimbal guard (polarity.cuh:56-58)."""
+    d_theta = (pz * (cf * rx + sf * ry) - st * rz) / dist
+    safe = jnp.abs(st) > 1e-10
+    d_phi = jnp.where(safe, (cf * ry - sf * rx)
+                      / (dist * jnp.where(safe, st, 1.0)), 0.0)
+    return d_theta, d_phi
+
+
+def bending_force_fast(Xi, r, dist, axis=DEFAULT_AXIS, p="p"):
+    """``bending_force`` on precomputed polarity trig (see
+    ``polarity_precompute``); identical physics, no per-pair trig.
+
+    Xi must carry the {p}x/{p}y/{p}z/{p}cf/{p}sf/{p}st fields; Xj's vector
+    arrives as ``Xi.p - r.p`` because engines form r component-wise.
+    """
+    pxi, pyi, pzi = (getattr(Xi, p + f) for f in ("x", "y", "z"))
+    pxj = pxi - getattr(r, p + "x")
+    pyj = pyi - getattr(r, p + "y")
+    pzj = pzi - getattr(r, p + "z")
+
+    prodi = (pxi * r.x + pyi * r.y + pzi * r.z) / dist
+    d_theta, d_phi = _unidir_from_vec(
+        pzi, getattr(Xi, p + "st"),
+        getattr(Xi, p + "cf"), getattr(Xi, p + "sf"),
+        r.x, r.y, r.z, dist)
+
+    d2 = dist * dist
+    fx = -prodi / dist * pxi + prodi * prodi / d2 * r.x
+    fy = -prodi / dist * pyi + prodi * prodi / d2 * r.y
+    fz = -prodi / dist * pzi + prodi * prodi / d2 * r.z
+
+    prodj = (pxj * r.x + pyj * r.y + pzj * r.z) / dist
+    fx = fx - prodj / dist * pxj + prodj * prodj / d2 * r.x
+    fy = fy - prodj / dist * pyj + prodj * prodj / d2 * r.y
+    fz = fz - prodj / dist * pzj + prodj * prodj / d2 * r.z
+
+    dF = pt_zeros_like(Xi)
+    return dF.replace(x=fx, y=fy, z=fz,
+                      **{axis[0]: -prodi * d_theta, axis[1]: -prodi * d_phi})
+
+
 def orthonormal(r, p):
     """Unit vector in the r-plane orthogonal to unit p
     (ref polarity.cuh:125-131)."""

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .dtypes import Float3
+from .dtypes import Float3, make_pt
 from .ops.common import (friction_on_background, friction_w_neighbour,
                          mask_tree)
 from .ops.grid_xla import gabriel_pairwise, grid_pairwise, grid_overflow, \
@@ -40,7 +40,7 @@ from .ops.grid_xla import gabriel_pairwise, grid_pairwise, grid_overflow, \
 from .ops.pairwise_xla import tile_pairwise
 
 __all__ = [
-    "TileEngine", "GridEngine", "GabrielEngine",
+    "TileEngine", "GridEngine", "GabrielEngine", "WindowEngine",
     "GenericForce", "Solution", "heun_step", "heun_steps",
     "friction_w_neighbour", "friction_on_background",
 ]
@@ -77,6 +77,29 @@ class GridEngine:
                              grid_size=self.grid_size, row_cap=self.row_cap,
                              i_block=self.i_block,
                              i_offset=i_offset, i_size=i_size)
+
+
+@dataclass(frozen=True)
+class WindowEngine:
+    """Sorted-window grid engine: same physics as GridEngine, gather-free
+    force pass (the TPU performance path; see ops/window_xla.py).
+    ``skin`` > 0 bins at ``cube_size * (1 + skin)`` so neighbour windows
+    stay valid while points move less than the margin."""
+    grid_size: int = 50
+    block: int = 256
+    w_max: int = 512
+    skin: float = 0.0
+
+    def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
+                 i_offset=0, i_size=None):
+        assert i_offset == 0 and i_size is None, \
+            "WindowEngine does not support sharded windows yet"
+        from .ops.window_xla import window_pairwise
+        return window_pairwise(
+            pw_int, pw_friction, X, old_v, n, cube_size,
+            grid_size=self.grid_size, block=self.block, w_max=self.w_max,
+            grid_cube_size=cube_size * (1.0 + self.skin) if self.skin
+            else None)
 
 
 @dataclass(frozen=True)
@@ -145,11 +168,29 @@ def _fix_components(dX, n, active, fix_mode, fix_point):
     raise ValueError(fix_mode)
 
 
-def _deriv(engine, pw_int, pw_friction, gen, fix_mode,
+def augment(X, n, precompute):
+    """Append derived per-point fields (e.g. polarity vectors) for the
+    duration of one pairwise pass; they flow through Xi / Xj / r."""
+    if precompute is None:
+        return X
+    aug = precompute(X, n)
+    AugT = make_pt(type(X).__name__ + "Aug",
+                   *(list(type(X)._fields[3:]) + list(aug.keys())))
+    return AugT(*X, *aug.values())
+
+
+def truncate_aug(F, orig_type):
+    if type(F).__name__ == orig_type.__name__:
+        return F
+    return orig_type(*tuple(F)[:len(orig_type._fields)])
+
+
+def _deriv(engine, pw_int, pw_friction, gen, fix_mode, precompute,
            X, old_v, n, cube_size, fix_point, gen_args):
     active = jnp.arange(X.x.shape[0], dtype=jnp.int32) < n
     F, sum_f, sum_v, aux = engine.pairwise(
-        pw_int, pw_friction, X, old_v, n, cube_size)
+        pw_int, pw_friction, augment(X, n, precompute), old_v, n, cube_size)
+    F = truncate_aug(F, type(X))
     if gen is not None:
         F = F + gen.fn(X, n, gen_args)
     # add_rhs: mean neighbour velocity weighted by friction (solvers.cuh:146-161)
@@ -165,11 +206,13 @@ def _deriv(engine, pw_int, pw_friction, gen, fix_mode,
     return dX, aux
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 12))
 def heun_step(engine, pw_int, pw_friction, gen, fix_mode,
-              X, old_v, n, dt, cube_size, fix_point, gen_args):
+              X, old_v, n, dt, cube_size, fix_point, gen_args,
+              precompute=None):
     """One 2nd-order step.  Pure; jitted once per (engine, forces) combo."""
-    d = partial(_deriv, engine, pw_int, pw_friction, gen, fix_mode)
+    d = partial(_deriv, engine, pw_int, pw_friction, gen, fix_mode,
+                precompute)
     dX, _ = d(X, old_v, n, cube_size, fix_point, gen_args)
     X1 = jax.tree.map(lambda a, b: a + b * dt, X, dX)
     dX1, aux = d(X1, old_v, n, cube_size, fix_point, gen_args)
@@ -180,15 +223,16 @@ def heun_step(engine, pw_int, pw_friction, gen, fix_mode,
     return X_new, old_v_new, aux
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 13))
 def heun_steps(n_steps, engine, pw_int, pw_friction, gen, fix_mode,
-               X, old_v, n, dt, cube_size, fix_point, gen_args):
+               X, old_v, n, dt, cube_size, fix_point, gen_args,
+               precompute=None):
     """``n_steps`` fused steps via lax.scan (device-resident hot loop)."""
     def body(carry, _):
         X, old_v = carry
         X, old_v, aux = heun_step(engine, pw_int, pw_friction, gen, fix_mode,
                                   X, old_v, n, dt, cube_size, fix_point,
-                                  gen_args)
+                                  gen_args, precompute)
         return (X, old_v), aux
     (X, old_v), auxs = jax.lax.scan(body, (X, old_v), None, length=n_steps)
     aux = jax.tree.map(lambda a: a[-1], auxs) if auxs else {}
@@ -228,6 +272,8 @@ class Solution:
                 engine = TileEngine()
             elif solver == "grid":
                 engine = GridEngine(grid_size=grid_size, row_cap=row_cap)
+            elif solver == "window":
+                engine = WindowEngine(grid_size=grid_size)
             elif solver == "gabriel":
                 engine = GabrielEngine(
                     grid_size=grid_size, row_cap=row_cap,
@@ -288,7 +334,7 @@ class Solution:
             self.copy_to_device()
 
     def take_step(self, dt, pw_int, *, pw_friction=friction_w_neighbour,
-                  gen_forces=None):
+                  gen_forces=None, precompute=None):
         """One Heun step (ref Solution::take_step, solvers.cuh:94-105)."""
         self._ensure_device()
         gen = _as_generic(gen_forces)
@@ -297,11 +343,13 @@ class Solution:
         self.d_X, self.d_old_v, self.aux = heun_step(
             self.engine, pw_int, pw_friction, gen_static, self._fix_mode,
             self.d_X, self.d_old_v, self.d_n, jnp.float32(dt),
-            jnp.float32(self.cube_size), jnp.int32(self._fix_point), gen_args)
+            jnp.float32(self.cube_size), jnp.int32(self._fix_point), gen_args,
+            precompute)
         return self.aux
 
     def take_steps(self, n_steps, dt, pw_int, *,
-                   pw_friction=friction_w_neighbour, gen_forces=None):
+                   pw_friction=friction_w_neighbour, gen_forces=None,
+                   precompute=None):
         """``n_steps`` device-fused steps (lax.scan hot loop)."""
         self._ensure_device()
         gen = _as_generic(gen_forces)
@@ -311,7 +359,7 @@ class Solution:
             int(n_steps), self.engine, pw_int, pw_friction, gen_static,
             self._fix_mode, self.d_X, self.d_old_v, self.d_n,
             jnp.float32(dt), jnp.float32(self.cube_size),
-            jnp.int32(self._fix_point), gen_args)
+            jnp.int32(self._fix_point), gen_args, precompute)
         return self.aux
 
     # -- diagnostics ----------------------------------------------------------

@@ -137,6 +137,7 @@ class Vtk_output:
     def close(self):
         if not self.verbose:
             return
+        self.verbose = False  # report once
         duration = int(time.time() - self._t0)
         if duration < 60:
             t = f"{duration} seconds"
