@@ -23,9 +23,16 @@ from yalla_tpu.models import branching as B
 from yalla_tpu.solvers import GridEngine
 from yalla_tpu.vtkio import Vtk_output
 
+def _argv_int(i, default):
+    try:
+        return int(sys.argv[i])
+    except (IndexError, ValueError):
+        return default
+
+
 n_0 = 500
-n_max = int(sys.argv[1]) if len(sys.argv) > 1 else 500000
-n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+n_max = _argv_int(1, 500000)
+n_frames = _argv_int(2, 500)
 substeps = 11
 
 

@@ -191,12 +191,16 @@ def lattice_pairwise_resident(pw_int, pw_friction, layout, n, cube_size, *,
                     {k: acc[3][k] + out[3][k] for k in acc[3]}), None
 
         zero = jnp.zeros((zb, gs, W), jnp.float32)
-        aux_probe = pw_int(Xi, Xi - Xi, zero, i_ids, i_ids)
-        aux0 = ({k: zero for k in aux_probe[1]}
-                if isinstance(aux_probe, tuple) and len(aux_probe) == 2
-                and isinstance(aux_probe[1], dict) else {})
-        acc0 = (jax.tree.map(lambda a: zero, Xi), zero,
-                (zero, zero, zero), aux0)
+        # Probe the force's output structure (dF type may differ from the
+        # augmented input type; aux dict keys must be static).
+        probe = pw_int(Xi, Xi - Xi, jnp.ones_like(zero), i_ids, i_ids)
+        if (isinstance(probe, tuple) and not hasattr(probe, "_fields")
+                and len(probe) == 2 and isinstance(probe[1], dict)):
+            dF_probe, aux_probe = probe
+        else:
+            dF_probe, aux_probe = probe, {}
+        acc0 = (jax.tree.map(lambda a: zero, dF_probe), zero,
+                (zero, zero, zero), {k: zero for k in aux_probe})
         acc, _ = jax.lax.scan(one_offset, acc0, (dzs, dys, rss))
         return acc
 
