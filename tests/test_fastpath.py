@@ -83,6 +83,25 @@ def test_lattice_matches_tile():
     assert isclose(np.asarray(X.z)[:n], ht.z[:n]), "lattice disagrees in z"
 
 
+def test_lattice_pallas_matches_tile():
+    """The Pallas lattice kernel (interpret mode on CPU) vs all-pairs."""
+    n = 30
+    tile = Solution(Float3, n, solver="tile")
+    random_sphere(0.9, tile)
+    X0, ov0 = tile.d_X, tile.d_old_v
+    for _ in range(2):
+        tile.take_step(0.1, _spring)
+    ht = tile.copy_to_host()
+
+    X, ov, aux = lattice_heun_steps(
+        2, 1, _spring, friction_w_neighbour, "com", 8, 8, 2,
+        X0, ov0, jnp.int32(n), jnp.float32(0.1), jnp.float32(1.0),
+        jnp.int32(0), None, True)
+    assert isclose(np.asarray(X.x)[:n], ht.x[:n]), "pallas disagrees in x"
+    assert isclose(np.asarray(X.y)[:n], ht.y[:n]), "pallas disagrees in y"
+    assert isclose(np.asarray(X.z)[:n], ht.z[:n]), "pallas disagrees in z"
+
+
 def test_lattice_resident_mode():
     """rebuild_every > 1 stays finite and close for vanishing-at-cutoff
     forces (relu band)."""

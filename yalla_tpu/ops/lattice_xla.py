@@ -155,14 +155,27 @@ def lattice_pairwise_resident(pw_int, pw_friction, layout, n, cube_size, *,
     zb = z_block
     assert gs % zb == 0
     nz = gs // zb
-    # All (dz, dy, x-shift) partner offsets, scanned (not unrolled: the
-    # body compiles once; 9 * (4C - 1) iterations at run time).
+    # All (dz, dy, x-shift) partner offsets.  Scanned in groups of UNROLL:
+    # the scan carry (the per-slab accumulators, a few MB) round-trips
+    # through HBM once per iteration, so unrolling several offsets per
+    # iteration divides that traffic; full unrolling would blow up compile
+    # time.
+    UNROLL = 16
     shifts = list(range(-(2 * C - 1), 2 * C))
     combos = [(dz, dy, r) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
               for r in shifts]
-    dzs = jnp.asarray([c[0] for c in combos], jnp.int32)
-    dys = jnp.asarray([c[1] for c in combos], jnp.int32)
-    rss = jnp.asarray([c[2] for c in combos], jnp.int32)
+    while len(combos) % UNROLL:
+        combos.append((0, 0, 0))  # no-op duplicates, masked by weight 0
+    pad_from = 9 * len(shifts)
+    weights = [1.0] * pad_from + [0.0] * (len(combos) - pad_from)
+    n_groups = len(combos) // UNROLL
+    dzs = jnp.asarray([c[0] for c in combos], jnp.int32).reshape(n_groups,
+                                                                 UNROLL)
+    dys = jnp.asarray([c[1] for c in combos], jnp.int32).reshape(n_groups,
+                                                                 UNROLL)
+    rss = jnp.asarray([c[2] for c in combos], jnp.int32).reshape(n_groups,
+                                                                 UNROLL)
+    wts = jnp.asarray(weights, jnp.float32).reshape(n_groups, UNROLL)
 
     def eval_slab(zi):
         z0 = zi * zb
@@ -172,23 +185,27 @@ def lattice_pairwise_resident(pw_int, pw_friction, layout, n, cube_size, *,
         occ_i = isl(Pocc)
         i_ids = isl(Ppid)
 
-        def one_offset(acc, offs):
-            dz, dy, r = offs
-            jsl = lambda a: jax.lax.dynamic_slice(
-                a, (z0 + 1 + dz, 1 + dy, PAD + r), (zb, gs, W))
-            # x-cube offset of the partner slot, per lane (C-periodic)
-            dcube = (lane_c + r) // C
-            in_x = (dcube >= -1) & (dcube <= 1)
-            Xj = jax.tree.map(jsl, P)
-            ovj = (jsl(Pov.x), jsl(Pov.y), jsl(Pov.z))
-            pair_mask = occ_i & jsl(Pocc) & in_x[None, None, :]
-            out = evaluate_pairs(pw_int, pw_friction, Xi, Xj, ovj,
-                                 i_ids, jsl(Ppid), pair_mask,
-                                 sum_axes=(), cutoff=cube_size)
-            return (jax.tree.map(jnp.add, acc[0], out[0]),
-                    acc[1] + out[1],
-                    tuple(a + b for a, b in zip(acc[2], out[2])),
-                    {k: acc[3][k] + out[3][k] for k in acc[3]}), None
+        def one_group(acc, offs):
+            dzg, dyg, rg, wg = offs
+            for u in range(UNROLL):
+                dz, dy, r, wt = dzg[u], dyg[u], rg[u], wg[u]
+                jsl = lambda a: jax.lax.dynamic_slice(
+                    a, (z0 + 1 + dz, 1 + dy, PAD + r), (zb, gs, W))
+                # x-cube offset of the partner slot, per lane (C-periodic)
+                dcube = (lane_c + r) // C
+                in_x = (dcube >= -1) & (dcube <= 1)
+                Xj = jax.tree.map(jsl, P)
+                ovj = (jsl(Pov.x), jsl(Pov.y), jsl(Pov.z))
+                pair_mask = (occ_i & jsl(Pocc) & in_x[None, None, :]
+                             & (wt > 0.5))
+                out = evaluate_pairs(pw_int, pw_friction, Xi, Xj, ovj,
+                                     i_ids, jsl(Ppid), pair_mask,
+                                     sum_axes=(), cutoff=cube_size)
+                acc = (jax.tree.map(jnp.add, acc[0], out[0]),
+                       acc[1] + out[1],
+                       tuple(a + b for a, b in zip(acc[2], out[2])),
+                       {k: acc[3][k] + out[3][k] for k in acc[3]})
+            return acc, None
 
         zero = jnp.zeros((zb, gs, W), jnp.float32)
         # Probe the force's output structure (dF type may differ from the
@@ -201,7 +218,7 @@ def lattice_pairwise_resident(pw_int, pw_friction, layout, n, cube_size, *,
             dF_probe, aux_probe = probe, {}
         acc0 = (jax.tree.map(lambda a: zero, dF_probe), zero,
                 (zero, zero, zero), {k: zero for k in aux_probe})
-        acc, _ = jax.lax.scan(one_offset, acc0, (dzs, dys, rss))
+        acc, _ = jax.lax.scan(one_group, acc0, (dzs, dys, rss, wts))
         return acc
 
     _, outs = jax.lax.scan(lambda c, z: (c, eval_slab(z)), None,
@@ -212,11 +229,11 @@ def lattice_pairwise_resident(pw_int, pw_friction, layout, n, cube_size, *,
             {k: flat(v) for k, v in aux.items()})
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 14))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 14, 15))
 def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                        grid_size, capacity, z_block,
                        X, old_v, n, dt, cube_size, fix_point,
-                       precompute=None):
+                       precompute=None, pallas=False):
     """``n_steps`` Heun steps with lattice-resident state.
 
     Same integration semantics as ``solvers.heun_steps`` (COM/point fixes,
@@ -237,7 +254,11 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         # derived per-point fields computed in slot layout (cheap,
         # garbage in empty slots is masked by occupancy)
         lay = lay._replace(T=augment(T, n, precompute))
-        F, sum_f, sum_v, aux = lattice_pairwise_resident(
+        if pallas:
+            from .lattice_pallas import lattice_pairwise_pallas as pair_fn
+        else:
+            pair_fn = lattice_pairwise_resident
+        F, sum_f, sum_v, aux = pair_fn(
             pw_int, pw_friction, lay, n, cube_size,
             grid_size=gs, capacity=C, z_block=z_block)
         F = truncate_aug(F, orig_type)

@@ -41,6 +41,7 @@ from .ops.pairwise_xla import tile_pairwise
 
 __all__ = [
     "TileEngine", "GridEngine", "GabrielEngine", "WindowEngine",
+    "LatticeEngine",
     "GenericForce", "Solution", "heun_step", "heun_steps",
     "friction_w_neighbour", "friction_on_background",
 ]
@@ -100,6 +101,41 @@ class WindowEngine:
             grid_size=self.grid_size, block=self.block, w_max=self.w_max,
             grid_cube_size=cube_size * (1.0 + self.skin) if self.skin
             else None)
+
+
+@dataclass(frozen=True)
+class LatticeEngine:
+    """Dense cube-lattice engine (see ops/lattice_xla.py): the highest-
+    throughput path for large N.  ``Solution.take_step(s)`` routes to the
+    lattice-resident integrator; ``rebuild_every`` controls the binning
+    refresh cadence (1 = reference-exact per-pass rebuild).  ``pallas``
+    selects the fused TPU kernel for the pair pass."""
+    grid_size: int = 64
+    capacity: int = 8
+    z_block: int = 4
+    rebuild_every: int = 1
+    pallas: bool = False
+
+    def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
+                 i_offset=0, i_size=None):
+        from .ops.lattice_xla import (lattice_build,
+                                      lattice_pairwise_resident)
+        from .ops.lattice_pallas import lattice_pairwise_pallas
+        assert i_offset == 0 and i_size is None
+        lay = lattice_build(X, old_v, n, cube_size, self.grid_size,
+                            self.capacity)
+        fn = lattice_pairwise_pallas if self.pallas \
+            else lattice_pairwise_resident
+        F, sum_f, sum_v, aux = fn(
+            pw_int, pw_friction, lay, n, cube_size,
+            grid_size=self.grid_size, capacity=self.capacity,
+            z_block=self.z_block)
+        n_slots = lay.pid.shape[0]
+        ok = lay.slot_of < n_slots
+        pick = jnp.where(ok, lay.slot_of, 0)
+        back = lambda a: jnp.where(ok, a[pick], 0.0)
+        return (jax.tree.map(back, F), back(sum_f),
+                tuple(map(back, sum_v)), {k: back(v) for k, v in aux.items()})
 
 
 @dataclass(frozen=True)
@@ -274,6 +310,8 @@ class Solution:
                 engine = GridEngine(grid_size=grid_size, row_cap=row_cap)
             elif solver == "window":
                 engine = WindowEngine(grid_size=grid_size)
+            elif solver == "lattice":
+                engine = LatticeEngine(grid_size=grid_size)
             elif solver == "gabriel":
                 engine = GabrielEngine(
                     grid_size=grid_size, row_cap=row_cap,
@@ -350,8 +388,23 @@ class Solution:
     def take_steps(self, n_steps, dt, pw_int, *,
                    pw_friction=friction_w_neighbour, gen_forces=None,
                    precompute=None):
-        """``n_steps`` device-fused steps (lax.scan hot loop)."""
+        """``n_steps`` device-fused steps (lax.scan hot loop).
+
+        With a LatticeEngine and no generic forces, this routes to the
+        lattice-resident integrator (binning kept on-lattice between
+        rebuilds -- the high-throughput path)."""
         self._ensure_device()
+        if isinstance(self.engine, LatticeEngine) and gen_forces is None:
+            from .ops.lattice_xla import lattice_heun_steps
+            e = self.engine
+            k = e.rebuild_every if int(n_steps) % e.rebuild_every == 0 else 1
+            self.d_X, self.d_old_v, self.aux = lattice_heun_steps(
+                int(n_steps), k, pw_int, pw_friction, self._fix_mode,
+                e.grid_size, e.capacity, e.z_block,
+                self.d_X, self.d_old_v, self.d_n, jnp.float32(dt),
+                jnp.float32(self.cube_size), jnp.int32(self._fix_point),
+                precompute, e.pallas)
+            return self.aux
         gen = _as_generic(gen_forces)
         gen_args = gen.args if gen is not None else None
         gen_static = gen._replace(args=None) if gen is not None else None
@@ -363,6 +416,34 @@ class Solution:
         return self.aux
 
     # -- diagnostics ----------------------------------------------------------
+    def validate(self):
+        """Runtime sanity checks: NaN/inf in state, count within capacity,
+        and engine capacity overflow -- the rebuild's D_ASSERT layer
+        (ref cudebug.cuh:8-14; NaN guards at solvers.cuh:153-154).
+        Returns a dict of findings; empty means healthy."""
+        self._ensure_device()
+        problems = {}
+        n = self.get_d_n()
+        if n > self.n_max:
+            problems["over_capacity"] = n
+        h = {f: np.asarray(getattr(self.d_X, f)[:n])
+             for f in self.pt_type._fields}
+        bad = {f: int(np.sum(~np.isfinite(a))) for f, a in h.items()
+               if np.sum(~np.isfinite(a))}
+        if bad:
+            problems["non_finite"] = bad
+        if self.check_grid_capacity():
+            problems["grid_capacity_overflow"] = True
+        if isinstance(self.engine, LatticeEngine):
+            from .ops.lattice_xla import lattice_build
+            lay = lattice_build(self.d_X, self.d_old_v, self.d_n,
+                                jnp.float32(self.cube_size),
+                                self.engine.grid_size, self.engine.capacity)
+            dropped = int(lay.n_dropped)
+            if dropped:
+                problems["lattice_capacity_dropped"] = dropped
+        return problems
+
     def check_grid_capacity(self):
         """True if the current configuration overflows ``row_cap``
         (rebuild of the reference's capacity D_ASSERTs)."""
