@@ -107,17 +107,12 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
             # dz, dy in {0, 1, 2} (0 = z-1 row); static offsets
             return scratch[k, pl.ds(dz, zb), pl.ds(dy, gs), :]
 
-        interp = _interpret()
-
         def shifted(full, s):
-            if not interp:
-                # static lane window (static unaligned lane slices lower to
-                # shifted loads; only *dynamic* unaligned lane indexing is
-                # forbidden by Mosaic)
-                s0 = PADX - PAD + 1 + s
-                return full[..., s0:s0 + W]
-            # interpret mode: dynamic rotate so the shift loop stays a
-            # fori_loop (a 279-way unroll is impractical to interpret)
+            # dynamic lane rotation by the modular complement (pltpu.roll
+            # needs non-negative shifts; Mosaic forbids unaligned *dynamic*
+            # lane slices, and a 279-way static unroll does not compile in
+            # acceptable time).  Wrapped elements land at lanes
+            # >= Wp - rot > W -- outside the [0, W) slice (halo).
             Wp_ = W + 2 * PADX
             return pltpu.roll(full, Wp_ - (PADX - PAD + 1 + s), 2)[..., :W]
 
@@ -175,11 +170,7 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                     kidx += 1
                 return new
 
-            if interp:
-                accs = jax.lax.fori_loop(0, shifts, body, accs)
-            else:
-                for s in range(shifts):  # static unroll: no rotate ops
-                    accs = body(s, accs)
+            accs = jax.lax.fori_loop(0, shifts, body, accs)
 
         for m in range(M):
             out_ref[m] = accs[m]
