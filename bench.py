@@ -74,7 +74,7 @@ def build(n_cells, seed=0):
     gs = 32
     while gs < world:
         gs *= 2
-    C, zb = 8, 8 if gs % 8 == 0 else 4
+    C, zb = 8, 4  # zb=4 measured best for the full branching force
 
     lay = lattice_build(X, old_v, jnp.int32(n_cells), jnp.float32(p.r_max),
                         gs, C)

@@ -442,6 +442,14 @@ class Solution:
             dropped = int(lay.n_dropped)
             if dropped:
                 problems["lattice_capacity_dropped"] = dropped
+        if isinstance(self.engine, WindowEngine):
+            from .ops.window_xla import window_build, window_overflow
+            e = self.engine
+            data = window_build(self.d_X, self.d_n,
+                                jnp.float32(self.cube_size * (1 + e.skin)),
+                                e.grid_size, min(e.block, self.n_pad))
+            if bool(window_overflow(data, e.w_max)):
+                problems["window_capacity_overflow"] = True
         return problems
 
     def check_grid_capacity(self):
