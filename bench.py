@@ -70,6 +70,22 @@ def build(n_cells, seed=0):
 
     p = B.Params()
     force = B.make_force(p)
+
+    if n_cells <= 20_000:
+        # All-pairs wins below ~20k cells (cf. the reference's own grid
+        # crossover note, solvers.cuh:346-347)
+        from yalla_tpu.solvers import TileEngine, heun_steps
+        eng = TileEngine()
+
+        def run(n_steps):
+            return heun_steps(
+                n_steps, eng, force, friction_w_neighbour, None, "com",
+                X, old_v, jnp.int32(n_cells), jnp.float32(p.dt),
+                jnp.float32(p.r_max), jnp.int32(0), None,
+                polarity_precompute)
+
+        return run
+
     world = side * 0.75 + 4
     gs = 32
     while gs < world:

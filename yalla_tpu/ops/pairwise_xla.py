@@ -47,7 +47,9 @@ def tile_pairwise(pw_int, pw_friction, X, old_v, n, *, j_block=None,
 
     if j_block is None:
         j_block = n_pad if n_pad <= 2048 else 1024
-    assert n_pad % j_block == 0, (n_pad, j_block)
+    while n_pad % j_block:
+        j_block //= 2
+    assert j_block >= 1, (n_pad, j_block)
 
     def eval_block(jb):
         """jb: int32[j_block] of j indices."""
