@@ -13,7 +13,6 @@ is vectorized by construction and fuses under ``jax.jit``.
 """
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax

@@ -14,7 +14,6 @@ the MXU; host-side geometry stays vectorized numpy.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

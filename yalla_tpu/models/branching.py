@@ -153,7 +153,7 @@ def init_state(n_0, n_max, p: Params = Params(), engine: GridEngine = None,
     (branching.cu:176-254).  Returns (State, Solution, engine)."""
     import numpy as np
 
-    from ..inits import relaxed_sphere, set_seed
+    from ..inits import relaxed_sphere
     from ..solvers import Solution
 
     if engine is None:

@@ -25,7 +25,6 @@ for its own shard of points against the full gathered population.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -14,7 +14,6 @@ function, so it lowers to Mosaic unchanged).
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +32,6 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
     """Drop-in replacement for ``lattice_pairwise_resident`` (same returns:
     F (dF-typed tree), sum_friction, sum_v 3-tuple, aux dict; all
     ``[n_slots]``)."""
-    from ..dtypes import Float3
 
     gs, C = grid_size, capacity
     n_slots = layout.pid.shape[0]
@@ -89,6 +87,11 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
     M = len(dF_leaves) + 1 + 3 + len(aux_keys)  # F.. sum_f sum_v3 aux..
 
     shifts = 4 * C - 1
+    # shift loop runs in groups: one dynamic base rotation per group, G
+    # static sub-windows within (cuts rotate work ~G x; G bounded to keep
+    # Mosaic compile time acceptable)
+    G = 4
+    n_shift_groups = -(-shifts // G)
     combos = [(dz, dy) for dz in (0, 1, 2) for dy in (0, 1, 2)]
 
     def kernel(scal_ref, A_hbm, out_ref, scratch, sem):
@@ -107,14 +110,14 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
             # dz, dy in {0, 1, 2} (0 = z-1 row); static offsets
             return scratch[k, pl.ds(dz, zb), pl.ds(dy, gs), :]
 
-        def shifted(full, s):
-            # dynamic lane rotation by the modular complement (pltpu.roll
-            # needs non-negative shifts; Mosaic forbids unaligned *dynamic*
-            # lane slices, and a 279-way static unroll does not compile in
-            # acceptable time).  Wrapped elements land at lanes
-            # >= Wp - rot > W -- outside the [0, W) slice (halo).
+        def base_rolled(full, g):
+            # align group g's first window to lane 0: dynamic rotation by
+            # the modular complement (pltpu.roll needs non-negative shifts;
+            # Mosaic forbids unaligned *dynamic* lane slices).  Wrapped
+            # elements land at lanes >= Wp - rot > W + G -- outside every
+            # [u, u + W) sub-window thanks to the halo.
             Wp_ = W + 2 * PADX
-            return pltpu.roll(full, Wp_ - (PADX - PAD + 1 + s), 2)[..., :W]
+            return pltpu.roll(full, Wp_ - (PADX - PAD + 1 + g * G), 2)
 
         Xi = unflatten_pt([row(k, 1, 1)[..., PADX:PADX + W]
                            for k in range(len(field_leaves))])
@@ -126,51 +129,59 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
         for dz, dy in combos:
             rows = [row(k, dz, dy) for k in range(K)]
 
-            def body(s, accs):  # s static (python-unrolled)
-                Xj = unflatten_pt([shifted(rows[k], s)
-                                   for k in range(len(field_leaves))])
-                ovjx = shifted(rows[IDX_OVX], s)
-                ovjy = shifted(rows[IDX_OVX + 1], s)
-                ovjz = shifted(rows[IDX_OVX + 2], s)
-                occ_j = shifted(rows[IDX_OCC], s) > 0.5
-                j_ids = shifted(rows[IDX_PID], s)
+            def group(g, accs):
+                rolled = [base_rolled(rows[k], g) for k in range(K)]
+                for u in range(G):
+                    s = g * G + u
+                    win = lambda k: rolled[k][..., u:u + W]
+                    Xj = unflatten_pt([win(k)
+                                       for k in range(len(field_leaves))])
+                    ovjx = win(IDX_OVX)
+                    ovjy = win(IDX_OVX + 1)
+                    ovjz = win(IDX_OVX + 2)
+                    occ_j = win(IDX_OCC) > 0.5
+                    j_ids = win(IDX_PID)
 
-                shift = s - (PAD - 1)  # actual x-flat shift
-                dcube = (lane_c + shift + 4 * C) // C - 4
-                in_x = (dcube >= -1) & (dcube <= 1)
+                    shift = s - (PAD - 1)  # actual x-flat shift
+                    dcube = (lane_c + shift + 4 * C) // C - 4
+                    in_x = ((dcube >= -1) & (dcube <= 1)
+                            & (s < shifts))  # mask group padding
 
-                r = Xi - Xj
-                dist = jnp.sqrt(r.x * r.x + r.y * r.y + r.z * r.z)
-                mask = occ_i & occ_j & in_x & (dist < csize)
+                    r = Xi - Xj
+                    dist = jnp.sqrt(r.x * r.x + r.y * r.y + r.z * r.z)
+                    mask = occ_i & occ_j & in_x & (dist < csize)
 
-                out = pw_int(Xi, r, dist, i_ids, j_ids)
-                if (isinstance(out, tuple) and not hasattr(out, "_fields")
-                        and len(out) == 2 and isinstance(out[1], dict)):
-                    dF, aux = out
-                else:
-                    dF, aux = out, {}
-                fr = jnp.where(mask, jnp.broadcast_to(
-                    pw_friction(Xi, r, dist, i_ids, j_ids),
-                    probe_shape), 0.0)
+                    out = pw_int(Xi, r, dist, i_ids, j_ids)
+                    if (isinstance(out, tuple)
+                            and not hasattr(out, "_fields")
+                            and len(out) == 2 and isinstance(out[1], dict)):
+                        dF, aux = out
+                    else:
+                        dF, aux = out, {}
+                    fr = jnp.where(mask, jnp.broadcast_to(
+                        pw_friction(Xi, r, dist, i_ids, j_ids),
+                        probe_shape), 0.0)
 
-                new = []
-                kidx = 0
-                for leaf in jax.tree.leaves(dF):
-                    new.append(accs[kidx] + jnp.where(
-                        mask, jnp.broadcast_to(leaf, probe_shape), 0.0))
+                    new = []
+                    kidx = 0
+                    for leaf in jax.tree.leaves(dF):
+                        new.append(accs[kidx] + jnp.where(
+                            mask, jnp.broadcast_to(leaf, probe_shape), 0.0))
+                        kidx += 1
+                    new.append(accs[kidx] + fr)
                     kidx += 1
-                new.append(accs[kidx] + fr)
-                kidx += 1
-                for ovj in (ovjx, ovjy, ovjz):
-                    new.append(accs[kidx] + fr * ovj)
-                    kidx += 1
-                for ak in aux_keys:
-                    new.append(accs[kidx] + jnp.where(
-                        mask, jnp.broadcast_to(aux[ak], probe_shape), 0.0))
-                    kidx += 1
-                return new
+                    for ovj in (ovjx, ovjy, ovjz):
+                        new.append(accs[kidx] + fr * ovj)
+                        kidx += 1
+                    for ak in aux_keys:
+                        new.append(accs[kidx] + jnp.where(
+                            mask, jnp.broadcast_to(aux[ak], probe_shape),
+                            0.0))
+                        kidx += 1
+                    accs = new
+                return accs
 
-            accs = jax.lax.fori_loop(0, shifts, body, accs)
+            accs = jax.lax.fori_loop(0, n_shift_groups, group, accs)
 
         for m in range(M):
             out_ref[m] = accs[m]

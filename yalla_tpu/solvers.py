@@ -23,7 +23,6 @@ passes -- symmetric and closer to the documented intent.
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import lru_cache, partial
 from typing import Any, Callable, NamedTuple
