@@ -52,7 +52,8 @@ def shard_state(mesh, X, old_v, axis="cells"):
 
 def make_sharded_step(mesh, engine, pw_int, *,
                       pw_friction=friction_w_neighbour, gen=None,
-                      fix_mode="com", axis="cells", n_steps=1):
+                      fix_mode="com", axis="cells", n_steps=1,
+                      precompute=None):
     """Build a jitted multi-chip Heun step (or ``n_steps``-step scan).
 
     Returns ``step(X, old_v, n, dt, cube_size, fix_point, gen_args)`` where
@@ -70,9 +71,11 @@ def make_sharded_step(mesh, engine, pw_int, *,
             lambda a: jax.lax.all_gather(a, axis, tiled=True), t)
 
         def deriv(X_full, old_v_full):
+            from ..solvers import augment, truncate_aug
             F, sum_f, sum_v, aux = engine.pairwise(
-                pw_int, pw_friction, X_full, old_v_full, n, cube_size,
-                i_offset=offset, i_size=size)
+                pw_int, pw_friction, augment(X_full, n, precompute),
+                old_v_full, n, cube_size, i_offset=offset, i_size=size)
+            F = truncate_aug(F, type(X_full))
             if gen is not None:
                 dXg = gen.fn(X_full, n, gen_args)
                 F = F + jax.tree.map(
