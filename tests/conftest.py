@@ -22,3 +22,15 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import zlib  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _deterministic_global_rng(request):
+    """Reseed the shared inits RNG per test from the test name, so results
+    never depend on which other tests ran first (collection order)."""
+    from yalla_tpu import inits
+    inits.set_seed(zlib.crc32(request.node.nodeid.encode()))

@@ -11,9 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yalla_tpu import Float3, Solution
-from yalla_tpu.inits import random_sphere, set_seed
-
-set_seed(2718)
+from yalla_tpu.inits import random_sphere
 
 r_max = 1.0
 r_min = 0.5
@@ -40,7 +38,7 @@ def test_sorting_statistics():
     """After 300 steps the sticky half sits significantly closer to the
     centre of mass than the loose half (cell sorting)."""
     cells = Solution(Float3, n_cells, solver="grid")
-    random_sphere(r_min, cells)
+    random_sphere(r_min, cells, rng=np.random.default_rng(2718))
     h0 = cells.copy_to_host()
     r0 = _radii(h0, n_cells)
     sep0 = r0[n_cells // 2:].mean() - r0[:n_cells // 2].mean()
@@ -74,7 +72,7 @@ def test_turing_pattern_emerges():
     cells.h_X.u[:200] = rng.random(200) / 5 - 0.1
     cells.h_X.v[:200] = rng.random(200) / 5 - 0.1
     from yalla_tpu.inits import random_disk
-    random_disk(0.5, cells)
+    random_disk(0.5, cells, rng=np.random.default_rng(2719))
 
     u0 = np.asarray(cells.d_X.u)[:200]
     cells.take_steps(2000, t.dt, t.epithelium_w_turing)
