@@ -67,8 +67,9 @@ class Links:
         self.d_n = jnp.int32(self.h_n)
 
     def copy_to_host(self):
-        self.h_a = np.asarray(self.d_a)
-        self.h_b = np.asarray(self.d_b)
+        # np.array (not asarray): the host mirror must be writable
+        self.h_a = np.array(self.d_a)
+        self.h_b = np.array(self.d_b)
         self.h_n = int(self.d_n)
         assert self.h_n <= self.n_max
 
