@@ -96,6 +96,26 @@ def random_cuboid(dist_to_nb, minimum, maximum, points, n_0=0, rng=None):
     points.copy_to_device()
 
 
+def _relax(points, steps, dt=0.1):
+    """Run the relu relaxation.  Relaxation sizes are small by design (the
+    reference warns above 10-15k points, inits.cuh:110-112), so the
+    all-pairs engine is both faster and kinder to the device than a
+    2000-step scan of a neighbor-search engine."""
+    from .solvers import Solution, TileEngine
+    if isinstance(points.engine, TileEngine):
+        points.take_steps(steps, dt, relu_force)
+        return
+    tmp = Solution(points.pt_type, points.n_max, engine=TileEngine(),
+                   n_pad=points.n_pad)
+    tmp.h_X = points.h_X
+    tmp.h_n = points.h_n
+    tmp.copy_to_device()
+    tmp.take_steps(steps, dt, relu_force)
+    points.h_X = tmp.copy_to_host()
+    points.d_old_v = tmp.d_old_v
+    points.copy_to_device()
+
+
 def _relax_steps_sphere(n):
     if n <= 100:
         return 500
@@ -119,7 +139,7 @@ def relaxed_sphere(dist_to_nb, points, n_0=0, rng=None):
     spacing 0.8 maps to ``dist_to_nb`` (ref inits.cuh:95-125)."""
     random_sphere(0.6, points, n_0, rng=rng)
     steps = _relax_steps_sphere(points.h_n)
-    points.take_steps(steps, 0.1, relu_force)
+    _relax(points, steps)
     points.copy_to_host()
     scale = dist_to_nb / 0.8
     points.h_X.x[:points.h_n] *= scale
@@ -135,7 +155,7 @@ def relaxed_cuboid(dist_to_nb, minimum, maximum, points, n_0=0, rng=None):
     mx = np.asarray(maximum, np.float64) / scale
     random_cuboid(0.8, mn, mx, points, n_0, rng=rng)
     steps = _relax_steps_cuboid(points.h_n)
-    points.take_steps(steps, 0.1, relu_force)
+    _relax(points, steps)
     points.copy_to_host()
     points.h_X.x[:points.h_n] *= scale
     points.h_X.y[:points.h_n] *= scale
