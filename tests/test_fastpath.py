@@ -55,6 +55,43 @@ def test_bending_fast_equivalence():
             f"bending fast path differs in {f}: {np.abs(a-b).max()}"
 
 
+def test_apical_constriction_fast_equivalence():
+    from yalla_tpu.dtypes import make_pt
+    from yalla_tpu.polarity import (apical_constriction_force,
+                                    apical_constriction_force_fast)
+    n = 128
+    gen = np.random.default_rng(32)
+    th = np.arccos(2 * gen.random(n) - 1).astype(np.float32)
+    ph = (gen.random(n) * 2 * np.pi - np.pi).astype(np.float32)
+    xyz = gen.normal(size=(n, 3)).astype(np.float32)
+    Xi = Po_cell(x=jnp.asarray(xyz[:, 0]), y=jnp.asarray(xyz[:, 1]),
+                 z=jnp.asarray(xyz[:, 2]), theta=jnp.asarray(th),
+                 phi=jnp.asarray(ph))
+    r_np = gen.normal(size=(n, 3)).astype(np.float32)
+    dist = jnp.asarray(np.linalg.norm(r_np, axis=1))
+    r = Po_cell(x=jnp.asarray(r_np[:, 0]), y=jnp.asarray(r_np[:, 1]),
+                z=jnp.asarray(r_np[:, 2]),
+                theta=jnp.asarray(gen.normal(size=n).astype(np.float32) * .3),
+                phi=jnp.asarray(gen.normal(size=n).astype(np.float32) * .3))
+    pref = np.pi / 2 - 20 * np.pi / 180
+    ref = apical_constriction_force(Xi, r, dist, pref)
+
+    aug_i = polarity_precompute(Xi, n)
+    Xj = Po_cell(x=Xi.x - r.x, y=Xi.y - r.y, z=Xi.z - r.z,
+                 theta=Xi.theta - r.theta, phi=Xi.phi - r.phi)
+    aug_j = polarity_precompute(Xj, n)
+    AugT = make_pt("PoAug", "theta", "phi", *aug_i.keys())
+    Xi_a = AugT(*Xi, *aug_i.values())
+    r_a = AugT(*r, *(aug_i[k] - aug_j[k] for k in aug_i))
+    fast = apical_constriction_force_fast(Xi_a, r_a, dist, pref)
+
+    for f in ("x", "y", "z", "theta", "phi"):
+        a = np.asarray(getattr(ref, f))
+        b = np.asarray(getattr(fast, f))
+        assert np.allclose(a, b, atol=5e-5, rtol=1e-4), \
+            f"apical fast path differs in {f}: {np.abs(a-b).max()}"
+
+
 def _spring(Xi, r, dist, i, j):
     valid = (i != j) & (dist < 1.0)
     safe = jnp.where(dist > 0, dist, 1.0)

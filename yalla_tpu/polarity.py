@@ -234,6 +234,37 @@ def bending_force_fast(Xi, r, dist, axis=DEFAULT_AXIS, p="p"):
                       **{axis[0]: -prodi * d_theta, axis[1]: -prodi * d_phi})
 
 
+def apical_constriction_force_fast(Xi, r, dist, pref_angle,
+                                   axis=DEFAULT_AXIS, p="p"):
+    """``apical_constriction_force`` on precomputed polarity trig
+    (see ``polarity_precompute``); identical physics, no per-pair trig."""
+    cos_pref = jnp.cos(pref_angle)
+    pxi, pyi, pzi = (getattr(Xi, p + f) for f in ("x", "y", "z"))
+    pxj = pxi - getattr(r, p + "x")
+    pyj = pyi - getattr(r, p + "y")
+    pzj = pzi - getattr(r, p + "z")
+
+    prodi = (pxi * r.x + pyi * r.y + pzi * r.z) / dist + cos_pref
+    d_theta, d_phi = _unidir_from_vec(
+        pzi, getattr(Xi, p + "st"),
+        getattr(Xi, p + "cf"), getattr(Xi, p + "sf"),
+        r.x, r.y, r.z, dist)
+
+    d2 = dist * dist
+    fx = -prodi / dist * pxi + prodi * prodi / d2 * r.x
+    fy = -prodi / dist * pyi + prodi * prodi / d2 * r.y
+    fz = -prodi / dist * pzi + prodi * prodi / d2 * r.z
+
+    prodj = (pxj * r.x + pyj * r.y + pzj * r.z) / dist - cos_pref
+    fx = fx - prodj / dist * pxj + prodj * prodj / d2 * r.x
+    fy = fy - prodj / dist * pyj + prodj * prodj / d2 * r.y
+    fz = fz - prodj / dist * pzj + prodj * prodj / d2 * r.z
+
+    dF = pt_zeros_like(Xi)
+    return dF.replace(x=fx, y=fy, z=fz,
+                      **{axis[0]: -prodi * d_theta, axis[1]: -prodi * d_phi})
+
+
 def orthonormal(r, p):
     """Unit vector in the r-plane orthogonal to unit p
     (ref polarity.cuh:125-131)."""
