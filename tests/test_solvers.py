@@ -162,6 +162,32 @@ def test_fix_point():
     assert isclose(h.z[fix_point], 0), "Fixed point moved in z"
 
 
+def test_fix_point_xy():
+    """``set_fixed_xy``: the pinned point's x/y never move while z follows
+    the COM-fixed dynamics (ref solvers.cuh:204-208, 240-253).  Pins the
+    documented deviation: we apply the predictor rule (point-xy + COM-z) in
+    BOTH Heun passes, where the reference's corrector falls back to fixing
+    full xyz (solvers.cuh:265-272)."""
+    import numpy as np
+    pts = Solution(Float3, 100, solver="tile")
+    random_sphere(0.733333, pts)
+    fix_point = 7
+    pts.h_X.x[fix_point] = 0.125
+    pts.h_X.y[fix_point] = -0.25
+    pts.copy_to_device()
+    pts.set_fixed_xy(fix_point)
+    h0 = pts.copy_to_host()
+    com_z0 = float(np.mean(h0.z[:100]))
+    for _ in range(5):
+        pts.take_step(0.1, clipped_spring)
+    h = pts.copy_to_host()
+    assert isclose(h.x[fix_point], 0.125), "set_fixed_xy moved the pin in x"
+    assert isclose(h.y[fix_point], -0.25), "set_fixed_xy moved the pin in y"
+    # z is COM-fixed, not point-fixed: the COM must be conserved while the
+    # pinned point itself is free to move in z
+    assert isclose(float(np.mean(h.z[:100])), com_z0), "COM z drifted"
+
+
 def test_grid_structure():
     """7x7x7 unit lattice: cube ids match the reference formula and the
     row-gathered neighbourhood equals the brute-force 27-cube set

@@ -46,6 +46,28 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(extra["step"]) == 42
 
 
+def test_checkpoint_reload_into_same_property(tmp_path):
+    """Round trip into the SAME objects: after copy_to_host the host mirrors
+    must remain writable (regression: np.asarray gave a read-only view of
+    the JAX buffer and reload crashed with 'assignment destination is
+    read-only')."""
+    n = 40
+    pts = Solution(Cell, n, solver="tile")
+    pts.h_X.x[:n] = rng.random(n)
+    pts.copy_to_device()
+    prop = Property(pts.n_pad, "cell_type")
+    prop.h_prop[:n] = rng.integers(0, 3, n)
+    prop.copy_to_device()
+    prop.copy_to_host()  # would poison h_prop with a read-only view
+
+    path = str(tmp_path / "ckpt2.npz")
+    save_solution(path, pts, properties=(prop,))
+    before = prop.h_prop[:n].copy()
+    prop.h_prop[:n] = -1  # diverge, then restore into the same object
+    load_solution(path, pts, properties=(prop,))
+    assert np.array_equal(prop.h_prop[:n], before)
+
+
 def test_native_io_layer():
     """The C++ serializer matches the Python fallback (skip if no g++)."""
     import pytest

@@ -75,16 +75,25 @@ class Links:
 
     def reset(self, check=None):
         """Deactivate links for which ``check(a, b)`` is True (all by
-        default), ref links.cuh:66-76."""
+        default), ref links.cuh:66-76.  ``check`` may be vectorized
+        (numpy arrays in, bool array out) or a scalar predicate."""
         self.copy_to_host()
         if check is None:
             self.h_a[:] = 0
             self.h_b[:] = 0
         else:
-            for i in range(self.n_max):
-                if check(int(self.h_a[i]), int(self.h_b[i])):
-                    self.h_a[i] = 0
-                    self.h_b[i] = 0
+            a = self.h_a[:self.n_max]
+            b = self.h_b[:self.n_max]
+            try:
+                kill = np.asarray(check(a, b), dtype=bool)
+                if kill.shape != a.shape:
+                    raise TypeError
+            except Exception:
+                kill = np.fromiter(
+                    (bool(check(int(x), int(y))) for x, y in zip(a, b)),
+                    dtype=bool, count=self.n_max)
+            a[kill] = 0
+            b[kill] = 0
         self.copy_to_device()
 
     @property

@@ -95,8 +95,10 @@ def make_force(p: Params):
         epi_pair = near & (both == 1.0)
         du_d = jnp.where(epi_pair, -p.D_u * r.u, 0.0)
         dv_d = jnp.where(epi_pair | (near & (both != 1.0)), -p.D_v * r.v, 0.0)
-        du_d = jnp.where(-du_d > Xi.u, 0.0, du_d)
-        dv_d = jnp.where(-dv_d > Xi.v, 0.0, dv_d)
+        # The reference clamps u/v only in the epithelium-epithelium branch
+        # (branching.cu:92-103); mesenchymal v uptake passes unclamped.
+        du_d = jnp.where(epi_pair & (-du_d > Xi.u), 0.0, du_d)
+        dv_d = jnp.where(epi_pair & (-dv_d > Xi.v), 0.0, dv_d)
         du = du + du_d
         dv = dv + dv_d
 

@@ -104,6 +104,23 @@ def grid_overflow(tables: GridTables, grid_size, row_cap):
     return jnp.any(re - rs + 1 > row_cap)
 
 
+def grid_out_of_bounds(X, n, cube_size, grid_size):
+    """True if any active point's unclipped cube coordinate falls outside
+    [0, grid_size).  ``build_grid`` clips such points into edge cubes (where
+    the reference D_ASSERTs in-bounds ids, solvers.cuh:361-364); for points
+    folded into corner cubes two neighbour rows can clip to overlapping
+    spans and double-count pairs, so out-of-grid states must be detected
+    rather than silently mis-integrated."""
+    gs = grid_size
+    active = jnp.arange(X.x.shape[0], dtype=jnp.int32) < n
+
+    def bad(v):
+        c = jnp.floor(v / cube_size).astype(jnp.int32) + gs // 2
+        return (c < 0) | (c >= gs)
+
+    return jnp.any(active & (bad(X.x) | bad(X.y) | bad(X.z)))
+
+
 def _candidates(order, rs, re, row_cap):
     """Candidate point ids for an i-block: [B, 9, row_cap] from row ranges."""
     pos = rs[:, :, None] + jnp.arange(row_cap, dtype=jnp.int32)

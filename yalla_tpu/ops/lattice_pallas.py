@@ -192,7 +192,7 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nz,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (M, zb, gs, W), lambda zi, *_: (0, zi, 0, 0),
                 memory_space=pltpu.VMEM),

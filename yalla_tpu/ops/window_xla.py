@@ -137,7 +137,10 @@ def window_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
             pos = base + jnp.arange(w_max, dtype=jnp.int32)[None, :]
             in_window = (pos >= w0) & (pos < we[b, r])
             in_row = jnp.abs(cj - (ci + offs[r])) <= 1
-            pair_mask = in_window & in_row & active_i
+            # pos < n: active points occupy sorted positions [0, n); without
+            # this, stale coordinates in padded slots (sentinel cube id) can
+            # match edge-cube rows and exert phantom forces
+            pair_mask = in_window & in_row & active_i & (pos < n)
             out = evaluate_pairs(pw_int, pw_friction, Xi, Xj, ovj,
                                  i_stable, j_stable, pair_mask,
                                  sum_axes=(1,), cutoff=cube_size)

@@ -26,5 +26,7 @@ class Property:
 
     def copy_to_host(self):
         if self.d_prop is not None:
-            self.h_prop = np.asarray(self.d_prop)
+            # np.array (not asarray): the host mirror must stay writable so
+            # checkpoint/VTK restore can assign into it
+            self.h_prop = np.array(self.d_prop)
         return self.h_prop

@@ -35,7 +35,7 @@ from .dtypes import Float3, make_pt
 from .ops.common import (friction_on_background, friction_w_neighbour,
                          mask_tree)
 from .ops.grid_xla import gabriel_pairwise, grid_pairwise, grid_overflow, \
-    build_grid
+    grid_out_of_bounds, build_grid
 from .ops.pairwise_xla import tile_pairwise
 
 __all__ = [
@@ -433,6 +433,18 @@ class Solution:
             problems["non_finite"] = bad
         if self.check_grid_capacity():
             problems["grid_capacity_overflow"] = True
+        gs = getattr(self.engine, "grid_size", None)
+        if gs is not None:
+            # Out-of-grid points are clipped into edge cubes by every binned
+            # engine (the reference D_ASSERTs instead, solvers.cuh:361-364);
+            # flag them so mis-binned states are detected, not silently
+            # mis-integrated (corner-cube clipping can double-count pairs).
+            bin_size = self.cube_size * (1.0 + getattr(self.engine, "skin",
+                                                       0.0))
+            oob = jax.jit(grid_out_of_bounds, static_argnums=(3,))(
+                self.d_X, self.d_n, jnp.float32(bin_size), gs)
+            if bool(oob):
+                problems["out_of_grid"] = True
         if isinstance(self.engine, LatticeEngine):
             from .ops.lattice_xla import lattice_build
             lay = lattice_build(self.d_X, self.d_old_v, self.d_n,
