@@ -71,26 +71,16 @@ def build(n_cells, seed=0):
     p = B.Params()
     force = B.make_force(p)
 
-    if n_cells <= 20_000:
-        # All-pairs wins below ~20k cells (cf. the reference's own grid
-        # crossover note, solvers.cuh:346-347)
-        from yalla_tpu.solvers import TileEngine, heun_steps
-        eng = TileEngine()
-
-        def run(n_steps):
-            return heun_steps(
-                n_steps, eng, force, friction_w_neighbour, None, "com",
-                X, old_v, jnp.int32(n_cells), jnp.float32(p.dt),
-                jnp.float32(p.r_max), jnp.int32(0), None,
-                polarity_precompute)
-
-        return run
-
-    world = side * 0.75 + 4
-    gs = 32
-    while gs < world:
+    # Pallas lattice kernel sized to the populated box: the round-2 fast
+    # path beats all-pairs from well below the reference's ~7k crossover
+    # (solvers.cuh:346-347); measured r2: 1.3 ms/step @ 5k (gs=16),
+    # ~60 ms/step @ 500k (gs=64), both C=8, zb=2, rebuild_every=4.
+    extent = side * 0.75 / 2 + 0.25
+    gs = 16
+    while gs * p.r_max < 2.0 * (extent + 1.0):
         gs *= 2
-    C, zb = 8, 4  # zb=4 measured best for the full branching force
+    C, zb = 8, 2
+    pallas = jax.default_backend() == "tpu"
 
     lay = lattice_build(X, old_v, jnp.int32(n_cells), jnp.float32(p.r_max),
                         gs, C)
@@ -98,11 +88,14 @@ def build(n_cells, seed=0):
     assert dropped == 0, f"lattice capacity overflow: {dropped} dropped"
 
     def run(n_steps):
+        k = REBUILD_EVERY
+        while n_steps % k:
+            k -= 1
         return lattice_heun_steps(
-            n_steps, min(REBUILD_EVERY, n_steps), force,
-            friction_w_neighbour, "com", gs, C, zb,
+            n_steps, k, force, friction_w_neighbour, "com", gs, C, zb,
             X, old_v, jnp.int32(n_cells), jnp.float32(p.dt),
-            jnp.float32(p.r_max), jnp.int32(0), polarity_precompute)
+            jnp.float32(p.r_max), jnp.int32(0), polarity_precompute,
+            pallas)
 
     return run
 

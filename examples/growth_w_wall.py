@@ -84,7 +84,8 @@ def child_fn(X, props, direction, i):
 
 def main(n_steps=n_time_steps):
     rng = np.random.default_rng(15)
-    cells = Solution(Float3, n_max, solver="gabriel", grid_size=50)
+    cells = Solution(Float3, n_max, solver="gabriel", grid_size=50,
+                     row_cap=64)
     cells.h_n = n_0
     cells.h_X.x[0] = 0
     cells.h_X.y[0] = 0

@@ -56,7 +56,7 @@ def update_protrusions(a, b, X, n_cells_d, key):
 
 
 def main():
-    cells = Solution(Float3, n_cells, solver="grid")
+    cells = Solution(Float3, n_cells, solver="grid", row_cap=64)
     random_sphere(r_min, cells)
     protrusions = Links(n_cells * prots_per_cell, seed=11)
 

@@ -130,7 +130,7 @@ def test_lattice_pallas_matches_tile():
     ht = tile.copy_to_host()
 
     X, ov, aux = lattice_heun_steps(
-        2, 1, _spring, friction_w_neighbour, "com", 8, 8, 2,
+        2, 1, _spring, friction_w_neighbour, "com", 16, 8, 2,
         X0, ov0, jnp.int32(n), jnp.float32(0.1), jnp.float32(1.0),
         jnp.int32(0), None, True)
     assert isclose(np.asarray(X.x)[:n], ht.x[:n]), "pallas disagrees in x"
@@ -159,3 +159,43 @@ def test_lattice_resident_mode():
     # relu_force vanishes smoothly at dist=1 -> stale binning error stays
     # small relative to the motion scale (~unit cell distances)
     assert np.abs(xs - ht.x[:n]).max() < 0.05
+
+
+def test_lattice_pallas_branching_force():
+    """The Pallas kernel's liveness pruning + diagonal hoisting + offdiag
+    split must be invisible: full branching force (polarity precompute,
+    Meinhardt diag terms, aux counters) vs the XLA resident path."""
+    from yalla_tpu.models import branching as B
+    from yalla_tpu.polarity import polarity_precompute
+
+    p = B.Params()
+    force = B.make_force(p)
+    n = 40
+    rng2 = np.random.default_rng(5)
+    n_pad = 64
+    pos = rng2.normal(size=(n_pad, 3)).astype(np.float32) * 1.5
+    X0 = B.Cell(
+        x=jnp.asarray(pos[:, 0]), y=jnp.asarray(pos[:, 1]),
+        z=jnp.asarray(pos[:, 2]),
+        theta=jnp.asarray(rng2.random(n_pad, np.float32) * 3),
+        phi=jnp.asarray(rng2.random(n_pad, np.float32) * 6 - 3),
+        u=jnp.asarray(rng2.random(n_pad, np.float32)),
+        v=jnp.asarray(rng2.random(n_pad, np.float32)),
+        ctype=jnp.asarray((rng2.random(n_pad) > 0.4).astype(np.float32)))
+    ov0 = Float3(jnp.asarray(rng2.normal(size=n_pad).astype(np.float32) * .1),
+                 jnp.zeros(n_pad), jnp.zeros(n_pad))
+
+    def run(pallas):
+        return lattice_heun_steps(
+            3, 1, force, friction_w_neighbour, "com", 16, 8, 2,
+            X0, ov0, jnp.int32(n), jnp.float32(p.dt), jnp.float32(p.r_max),
+            jnp.int32(0), polarity_precompute, pallas)
+
+    Xa, _, auxa = run(False)
+    Xb, _, auxb = run(True)
+    for f in B.Cell._fields:
+        assert isclose(np.asarray(getattr(Xa, f))[:n],
+                       np.asarray(getattr(Xb, f))[:n]), f"pallas {f}"
+    for k in ("epi_nbs", "mes_nbs"):
+        assert np.array_equal(np.asarray(auxa[k])[:n],
+                              np.asarray(auxb[k])[:n]), k

@@ -37,6 +37,9 @@ class DivisionInfo(NamedTuple):
     ok: jnp.ndarray         # bool[n_pad]: cell i divided this call
     child_idx: jnp.ndarray  # int32[n_pad]: daughter slot (valid where ok)
     n_divided: jnp.ndarray  # int32 scalar
+    n_lost: jnp.ndarray     # int32 scalar: divisions dropped at capacity
+    #                         (the reference hard-asserts instead,
+    #                          solvers.cuh:82; callers must check)
 
 
 def _random_unit(key, n_pad):
@@ -92,8 +95,10 @@ def proliferate(want_fn, child_fn, X, old_v, n, key, props=()):
     props_new = tuple(p if jnp.ndim(p) == 0 else p.at[tgt].set(p, mode="drop")
                       for p in props)
     n_divided = jnp.sum(ok.astype(jnp.int32))
+    n_lost = jnp.sum(want.astype(jnp.int32)) - n_divided
     return (X_new, old_v_new, n + n_divided, props_new,
-            DivisionInfo(ok=ok, child_idx=child_idx, n_divided=n_divided))
+            DivisionInfo(ok=ok, child_idx=child_idx, n_divided=n_divided,
+                         n_lost=n_lost))
 
 
 # --------------------------------------------------------------------------

@@ -65,46 +65,58 @@ class State(NamedTuple):
 
 
 def make_force(p: Params):
-    def force(Xi, r, dist, i, j):
-        both = Xi.ctype * (Xi.ctype - r.ctype)     # 1 iff both epithelial
-        epi_i = Xi.ctype
-        same = r.ctype == 0.0
+    """Pairwise force in single-reciprocal form: ONE divide per pair (the
+    1/dist reciprocal, shared with the bending fast path); everything else
+    is mul/add -- the TPU VPU runs divisions an order of magnitude slower
+    than multiplies, and this body runs on every candidate lane of the
+    lattice kernel.
 
+    The returned function carries an ``offdiag`` attribute: the same force
+    without the i == j (Meinhardt reaction) terms.  Engines that evaluate
+    the self-pair separately (the Pallas lattice kernel) use it to keep the
+    reaction ODE math out of the 9 x (4C-1)-offset hot loop; by contract
+    ``force.offdiag(...) == force(...)`` wherever ``i != j``
+    (cf. the reference's explicit i == j early branch, branching.cu:64-78).
+    """
+    def body(Xi, r, dist, i, j, with_diag):
+        both = Xi.ctype * (Xi.ctype - r.ctype)     # 1 iff both epithelial
+        same = r.ctype == 0.0
         diag = i == j
-        # Meinhardt kinetics on the epithelium only (branching.cu:66-77)
-        du_r = p.lam * ((p.f_u * Xi.u * Xi.u) / (1 + p.f_v * Xi.v)
-                        - p.m_u * Xi.u + p.s_u)
-        dv_r = p.lam * (p.g_u * Xi.u * Xi.u - p.m_v * Xi.v)
-        du_r = jnp.where(-du_r > Xi.u, 0.0, du_r)  # clamp: no negatives
-        dv_r = jnp.where(-dv_r > Xi.v, 0.0, dv_r)
-        react = diag & (epi_i == EPITHELIUM)
-        du = jnp.where(react, du_r, 0.0)
-        dv = jnp.where(react, dv_r, 0.0)
 
         # Mechanics: type-dependent ReLU band (branching.cu:82-87)
         near = (~diag) & (dist < p.r_max)
         F_same = jnp.maximum(0.7 - dist, 0) * 2 - jnp.maximum(dist - 0.8, 0)
         F_diff = jnp.maximum(0.8 - dist, 0) * 2 - jnp.maximum(dist - 0.9, 0)
         F = jnp.where(same, F_same, F_diff)
-        safe = jnp.where(dist > 0, dist, 1.0)
-        w = jnp.where(near, F / safe, 0.0)
+        pos = dist > 0
+        inv = jnp.where(pos, 1.0 / jnp.where(pos, dist, 1.0), 0.0)
+        w = jnp.where(near, F * inv, 0.0)
         fx, fy, fz = r.x * w, r.y * w, r.z * w
 
         # Diffusion between epithelial pairs; v also leaks into the
         # mesenchyme to license proliferation (branching.cu:91-103)
         epi_pair = near & (both == 1.0)
-        du_d = jnp.where(epi_pair, -p.D_u * r.u, 0.0)
-        dv_d = jnp.where(epi_pair | (near & (both != 1.0)), -p.D_v * r.v, 0.0)
+        du = jnp.where(epi_pair, -p.D_u * r.u, 0.0)
+        dv = jnp.where(epi_pair | (near & (both != 1.0)), -p.D_v * r.v, 0.0)
         # The reference clamps u/v only in the epithelium-epithelium branch
         # (branching.cu:92-103); mesenchymal v uptake passes unclamped.
-        du_d = jnp.where(epi_pair & (-du_d > Xi.u), 0.0, du_d)
-        dv_d = jnp.where(epi_pair & (-dv_d > Xi.v), 0.0, dv_d)
-        du = du + du_d
-        dv = dv + dv_d
+        du = jnp.where(epi_pair & (-du > Xi.u), 0.0, du)
+        dv = jnp.where(epi_pair & (-dv > Xi.v), 0.0, dv)
+
+        if with_diag:
+            # Meinhardt kinetics on the epithelium only (branching.cu:66-77)
+            du_r = p.lam * ((p.f_u * Xi.u * Xi.u) / (1 + p.f_v * Xi.v)
+                            - p.m_u * Xi.u + p.s_u)
+            dv_r = p.lam * (p.g_u * Xi.u * Xi.u - p.m_v * Xi.v)
+            du_r = jnp.where(-du_r > Xi.u, 0.0, du_r)  # clamp: no negatives
+            dv_r = jnp.where(-dv_r > Xi.v, 0.0, dv_r)
+            react = diag & (Xi.ctype == EPITHELIUM)
+            du = du + jnp.where(react, du_r, 0.0)
+            dv = dv + jnp.where(react, dv_r, 0.0)
 
         # Epithelial bending stiffness (branching.cu:100); Cartesian fast
-        # path on the precomputed per-cell polarity trig
-        bend = bending_force_fast(Xi, r, jnp.where(near, dist, 1.0))
+        # path on the precomputed per-cell polarity trig, sharing inv
+        bend = bending_force_fast(Xi, r, dist, inv=inv)
         bw = jnp.where(epi_pair, 0.2, 0.0)
         fx = fx + bend.x * bw
         fy = fy + bend.y * bw
@@ -122,6 +134,10 @@ def make_force(p: Params):
         }
         return dF, aux
 
+    def force(Xi, r, dist, i, j):
+        return body(Xi, r, dist, i, j, True)
+
+    force.offdiag = lambda Xi, r, dist, i, j: body(Xi, r, dist, i, j, False)
     return force
 
 

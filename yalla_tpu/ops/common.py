@@ -29,7 +29,14 @@ __all__ = [
     "friction_on_background",
     "evaluate_pairs",
     "mask_tree",
+    "ERR_PREFIX",
 ]
+
+# Reserved aux-channel prefix for in-loop failure flags (the rebuild of the
+# reference's in-kernel D_ASSERTs, cudebug.cuh:8-35, solvers.cuh:82,90,
+# 153-154).  Engines and the integrator publish per-cell error indicators
+# under this prefix; ``Solution`` checks them after every launch and raises.
+ERR_PREFIX = "__err_"
 
 
 def friction_w_neighbour(Xi, r, dist, i, j):

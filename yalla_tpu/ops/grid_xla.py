@@ -176,8 +176,14 @@ def grid_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
         ovj = (old_v.x[jidx], old_v.y[jidx], old_v.z[jidx])
         i_arr = (start + jnp.arange(B, dtype=jnp.int32))[:, None, None]
         pair_mask = valid & (i_arr < n)
-        return evaluate_pairs(pw_int, pw_friction, Xi, Xj, ovj, i_arr, jidx,
-                              pair_mask, sum_axes=(1, 2), cutoff=cube_size)
+        out = evaluate_pairs(pw_int, pw_friction, Xi, Xj, ovj, i_arr, jidx,
+                             pair_mask, sum_axes=(1, 2), cutoff=cube_size)
+        # in-loop capacity check (ref D_ASSERT, solvers.cuh:82,90): a row
+        # with more candidates than row_cap silently drops pairs -- flag it
+        over = jnp.any((re - rs + 1 > row_cap)
+                       & (i_arr[:, :, 0] < n), axis=1).astype(jnp.float32)
+        out[3]["__err_grid_overflow"] = over
+        return out
 
     return _scan_blocks(eval_block, i_size, B)
 
@@ -243,7 +249,11 @@ def gabriel_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
         Xi = jax.tree.map(lambda a: blk(a)[:, None], X)
         Xj = jax.tree.map(lambda a: a[jidx_s], X)
         ovj = (old_v.x[jidx_s], old_v.y[jidx_s], old_v.z[jidx_s])
-        return evaluate_pairs(pw_int, pw_friction, Xi, Xj, ovj, i_arr, jidx_s,
-                              keep, sum_axes=(1,))
+        out = evaluate_pairs(pw_int, pw_friction, Xi, Xj, ovj, i_arr, jidx_s,
+                             keep, sum_axes=(1,))
+        over = jnp.any((re - rs + 1 > row_cap) & (i_arr < n),
+                       axis=1).astype(jnp.float32)
+        out[3]["__err_grid_overflow"] = over
+        return out
 
     return _scan_blocks(eval_block, i_size, B)

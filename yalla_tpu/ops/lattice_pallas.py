@@ -1,22 +1,49 @@
 """Pallas TPU kernel for the dense cube-lattice pair pass.
 
-The XLA formulation (``lattice_xla.lattice_pairwise_resident``) re-reads
-each z-slab from HBM for every one of the 9 x (4C - 1) neighbour shifts
-(~30 GB/pass at 500k cells).  This kernel DMAs the slab (plus z/y halo)
-into VMEM once per grid step and keeps the whole shift loop on-chip:
-HBM traffic drops to ~2x the state size per pass.
+Drop-in replacement for ``lattice_xla.lattice_pairwise_resident`` (same
+layout contract and returns).  Design notes, from round-1/round-2
+measurements on a v5e chip:
 
-Layout contract matches the XLA path: all per-slot f32 channels are stacked
-into one ``A[K, gs+2, gs+2, W + 4C]`` array (fields, old_v, occupancy, and
-stable ids as f32), outputs stacked as ``O[M, gs, gs, W]``; the force
-function is traced straight into the kernel (it is an elementwise jnp
-function, so it lowers to Mosaic unchanged).
+* The XLA formulation re-reads each z-slab from HBM for every one of the
+  9 x (4C - 1) neighbour shifts (~30 GB/pass at 500k cells).  Here the slab
+  (plus z halo) is DMA'd into VMEM once per grid step.
+* The round-1 kernel was *rotation-bound*: aligning every (dz, dy, shift)
+  window with dynamic lane rotations plus per-window sub-slicing moved ~8G
+  elements per pass.  This kernel never slices along lanes: the j-side slab
+  lives in a VMEM scratch that is rolled **in place by a static -1** per
+  shift iteration, and the force is evaluated full-width with window
+  validity folded into the pair mask.
+* No x/y halos: the roll is circular and wrapped pairs are masked out
+  (lane arithmetic for x, edge-row masks for y).  The z halo rides the
+  slab DMA; HBM z padding carries occupancy 0.
+* The kernel is VPU-op-bound, so per-lane work is trimmed three ways:
+  - **Channel liveness**: the force is traced once (jaxpr dependence
+    analysis) to find which Pt fields are actually read through Xj / r --
+    only those are stored and rolled j-side; i-only fields (polarity trig,
+    reaction inputs) ride the cheap unrolled i-buffer.  Constant-zero
+    outputs (e.g. a dF.ctype that is always 0) get no accumulator.
+  - **Diagonal hoisting**: the self-pair (i == j) is evaluated once per
+    slab from the i-buffer and *excluded* from the offset loop (mask
+    ``s != 0`` at the central offset).  If the force supplies an
+    ``offdiag`` attribute (same force without its i == j branch, cf. the
+    reference's explicit early branch, branching.cu:64-78), the hot loop
+    traces that instead, dropping the reaction-ODE math from every lane.
+  - Forces written in single-reciprocal form (see ``models/branching``)
+    lower to mul/add-only Mosaic code.
+* The per-point ids passed to ``pw_int``/``pw_friction`` are *slot* ids
+  (synthetic, from lane arithmetic), not stable point ids: only ``i == j``
+  / ``i != j`` semantics are guaranteed, which is what every reference
+  force functor uses them for (ref solvers.cuh:27-35).
+
+Layout contract matches the XLA path (``lattice_xla``): per-slot channels
+viewed as ``[gs_z, gs_y, gs_x * C]``; cube id = cx + cy*gs + cz*gs^2
+(ref solvers.cuh:349-365).
 """
 from __future__ import annotations
 
-
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -27,188 +54,298 @@ def _interpret():
     return jax.default_backend() == "cpu"
 
 
+def _split_probe(out):
+    if (isinstance(out, tuple) and not hasattr(out, "_fields")
+            and len(out) == 2 and isinstance(out[1], dict)):
+        return out
+    return out, {}
+
+
+def _var_key(v):
+    return id(v)
+
+
+def _is_var(a):
+    return hasattr(a, "aval") and not hasattr(a, "val")  # Var, not Literal
+
+
+def _dependence(closed_jaxpr):
+    """(tainted_outputs, live_inputs) of a jaxpr: which outputs depend on
+    any input, and which inputs feed any such output.  Call-like eqns are
+    treated opaquely (all-to-all) -- conservative in both directions."""
+    jaxpr = closed_jaxpr.jaxpr
+    tainted = {_var_key(v) for v in jaxpr.invars}
+    for eqn in jaxpr.eqns:
+        if any(_is_var(a) and _var_key(a) in tainted for a in eqn.invars):
+            tainted.update(_var_key(v) for v in eqn.outvars)
+    out_tainted = [_is_var(v) and _var_key(v) in tainted
+                   for v in jaxpr.outvars]
+
+    live = {_var_key(v) for v, t in zip(jaxpr.outvars, out_tainted)
+            if t and _is_var(v)}
+    for eqn in reversed(jaxpr.eqns):
+        if any(_var_key(v) in live for v in eqn.outvars):
+            live.update(_var_key(a) for a in eqn.invars if _is_var(a))
+    in_live = [_var_key(v) in live for v in jaxpr.invars]
+    return out_tainted, in_live
+
+
 def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                             grid_size, capacity, z_block):
-    """Drop-in replacement for ``lattice_pairwise_resident`` (same returns:
-    F (dF-typed tree), sum_friction, sum_v 3-tuple, aux dict; all
-    ``[n_slots]``)."""
+    """Pairwise sums in lattice layout on the TPU VPU (see module docs).
 
+    Returns (F (dF-typed tree), sum_friction, sum_v 3-tuple, aux dict),
+    all ``[n_slots]`` -- identical to ``lattice_pairwise_resident``.
+    """
     gs, C = grid_size, capacity
     n_slots = layout.pid.shape[0]
     n_pad = layout.slot_of.shape[0]
     W = gs * C
-    PAD = 2 * C
-    # x halo rounded so the padded row width is a multiple of 128 lanes
-    # (tpu.dynamic_rotate requires an unpadded lane layout)
-    PADX = max(PAD, 64)
-    while (W + 2 * PADX) % 128:
-        PADX += 1
+    assert W % 128 == 0, "gs * capacity must be a multiple of 128 lanes"
     zb = z_block
     assert gs % zb == 0
     nz = gs // zb
+    n_shifts = 4 * C - 1        # flat x shifts cover cube offsets -1..+1
 
-    occ = (layout.pid < n_pad).astype(jnp.float32)
-    pid_f = layout.pid.astype(jnp.float32)
-
+    pw_off = getattr(pw_int, "offdiag", None) or pw_int
     field_leaves, field_tree = jax.tree.flatten(layout.T)
-    in_channels = field_leaves + [layout.Tov.x, layout.Tov.y, layout.Tov.z,
-                                  occ, pid_f]
-    K = len(in_channels)
-    IDX_OVX = len(field_leaves)
-    IDX_OCC = K - 2
-    IDX_PID = K - 1
+    nf = len(field_leaves)
 
-    # y halo padded to a sublane-aligned extent (DMA slice shapes must be
-    # multiples of the (8, 128) tile)
-    GSY = ((gs + 2 + 7) // 8) * 8
-
-    def pack(a):
-        return jnp.pad(a.reshape(gs, gs, W),
-                       ((1, 1), (1, GSY - gs - 1), (PADX, PADX)))
-
-    A = jnp.stack([pack(a) for a in in_channels])  # [K, gs+2, gs+2, W+2PAD]
-
-    # --- probe the force's output structure at trace time ----------------
     def unflatten_pt(leaves):
         return jax.tree.unflatten(field_tree, leaves)
 
-    probe_shape = (zb, gs, W)
-    zeros_p = jnp.zeros(probe_shape)
-    Xi_probe = unflatten_pt([zeros_p] * len(field_leaves))
-    probe = pw_int(Xi_probe, Xi_probe, jnp.ones(probe_shape),
-                   zeros_p, zeros_p)
-    if (isinstance(probe, tuple) and not hasattr(probe, "_fields")
-            and len(probe) == 2 and isinstance(probe[1], dict)):
-        dF_probe, aux_probe = probe
-    else:
-        dF_probe, aux_probe = probe, {}
-    dF_leaves, dF_tree = jax.tree.flatten(dF_probe)
+    # ---- trace-time structure probe + dependence analysis -----------------
+    shape = (zb, gs, W)
+    ex = jnp.zeros((8, 128), jnp.float32)
+
+    def f_off(xi, xj, ids):
+        Xi, Xj = unflatten_pt(xi), unflatten_pt(xj)
+        i, j = ids
+        r = Xi - Xj
+        dist = jnp.sqrt(r.x * r.x + r.y * r.y + r.z * r.z)
+        dF, aux = _split_probe(pw_off(Xi, r, dist, i, j))
+        fr = pw_friction(Xi, r, dist, i, j)
+        return (jax.tree.leaves(dF) + [jnp.broadcast_to(fr, dist.shape)]
+                + list(aux.values()))
+
+    def f_diag(xi, i):
+        Xi = unflatten_pt(xi)
+        zero = jnp.zeros_like(Xi.x)
+        r = jax.tree.map(lambda _: zero, Xi)
+        dF, aux = _split_probe(pw_int(Xi, r, zero, i, i))
+        fr = pw_friction(Xi, r, zero, i, i)
+        return (jax.tree.leaves(dF) + [jnp.broadcast_to(fr, zero.shape)]
+                + list(aux.values()))
+
+    # structure: from the full force (offdiag must match it by contract)
+    dF_probe, aux_probe = _split_probe(
+        pw_int(unflatten_pt([ex] * nf), unflatten_pt([ex] * nf),
+               jnp.ones_like(ex), ex, ex))
+    dF_leaves_probe, dF_tree = jax.tree.flatten(dF_probe)
+    n_dF = len(dF_leaves_probe)
     aux_keys = list(aux_probe.keys())
-    M = len(dF_leaves) + 1 + 3 + len(aux_keys)  # F.. sum_f sum_v3 aux..
+    n_out = n_dF + 1 + len(aux_keys)      # dF.., fr, aux..
 
-    shifts = 4 * C - 1
-    # shift loop runs in groups: one dynamic base rotation per group, G
-    # static sub-windows within (cuts rotate work ~G x; G bounded to keep
-    # Mosaic compile time acceptable)
-    G = 4
-    n_shift_groups = -(-shifts // G)
-    combos = [(dz, dy) for dz in (0, 1, 2) for dy in (0, 1, 2)]
+    out_t_off, in_live_off = _dependence(
+        jax.make_jaxpr(f_off)([ex] * nf, [ex] * nf, (ex, ex)))
+    out_t_diag, in_live_diag = _dependence(
+        jax.make_jaxpr(f_diag)([ex] * nf, ex))
+    xi_need = [in_live_off[k] or in_live_off[nf + k] or in_live_diag[k]
+               for k in range(nf)]
+    xj_need = [in_live_off[nf + k] for k in range(nf)]
+    for k in range(3):
+        # x, y, z feed the kernel's own dist/cutoff mask regardless of
+        # what the force reads (make_pt puts them first)
+        xi_need[k] = xj_need[k] = True
 
-    def kernel(scal_ref, A_hbm, out_ref, scratch, sem):
+    # constant outputs: prune only if the constant is zero (evaluated
+    # outside the ambient trace -- forces are static functions of their
+    # arguments by the heun_step contract)
+    with jax.ensure_compile_time_eval():
+        zeros_in = [jnp.zeros((1, 1), jnp.float32)] * nf
+        zz = jnp.zeros((1, 1), jnp.float32)
+        const_off = [np.asarray(v)
+                     for v in f_off(zeros_in, zeros_in, (zz, zz))]
+        const_diag = [np.asarray(v) for v in f_diag(zeros_in, zz)]
+    live_off = [t or c.any() for t, c in zip(out_t_off, const_off)]
+    live_diag = [t or c.any() for t, c in zip(out_t_diag, const_diag)]
+    fr_off, fr_diag = live_off[n_dF], live_diag[n_dF]
+    out_need = [a or b for a, b in zip(live_off, live_diag)]
+
+    # ---- channel and accumulator layout -----------------------------------
+    occ = (layout.pid < n_pad).astype(jnp.float32)
+    ovs = [layout.Tov.x, layout.Tov.y, layout.Tov.z]
+
+    xi_fields = [k for k in range(nf) if xi_need[k]]
+    xj_fields = [k for k in range(nf) if xj_need[k]]
+    xi_channels = [field_leaves[k] for k in xi_fields] + [occ] \
+        + (ovs if fr_diag else [])
+    rj_channels = [field_leaves[k] for k in xj_fields] + [occ] \
+        + (ovs if fr_off else [])
+    K_i, K_j = len(xi_channels), len(rj_channels)
+    XI_OCC, RJ_OCC = len(xi_fields), len(xj_fields)
+
+    # accumulators: live dF leaves, sum_f, sum_v (if any friction), live aux
+    acc_of_out = {}
+    M = 0
+    for o in range(n_out):
+        if o == n_dF:   # friction slot -> sum_f + 3 sum_v accumulators
+            continue
+        if out_need[o]:
+            acc_of_out[o] = M
+            M += 1
+    have_fr = fr_off or fr_diag
+    SUMF = SUMV = None
+    if have_fr:
+        SUMF, SUMV = M, M + 1
+        M += 4
+
+    def stack_z_padded(chs):
+        a = jnp.stack([c.reshape(gs, gs, W) for c in chs])
+        return jnp.pad(a, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+    A_i = stack_z_padded(xi_channels)        # [K_i, gs+2, gs, W]
+    A_j = stack_z_padded(rj_channels)        # [K_j, gs+2, gs, W]
+
+    def kernel(scal_ref, Ai_hbm, Aj_hbm, out_ref, xi_ref, rj_ref, sems):
         zi = pl.program_id(0)
         csize = scal_ref[0]
-        # one DMA: slab + z halo for all channels
-        dma = pltpu.make_async_copy(
-            A_hbm.at[:, pl.ds(zi * zb, zb + 2)], scratch, sem)
-        dma.start()
-        dma.wait()
+        cp_i = pltpu.make_async_copy(
+            Ai_hbm.at[:, pl.ds(zi * zb + 1, zb)], xi_ref, sems.at[0])
+        cp_j = pltpu.make_async_copy(
+            Aj_hbm.at[:, pl.ds(zi * zb, zb + 2)], rj_ref, sems.at[1])
+        cp_i.start()
+        cp_j.start()
+        cp_i.wait()
+        cp_j.wait()
 
-        lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2) % C
+        out_ref[...] = jnp.zeros((M,) + shape, jnp.float32)
 
-        def row(k, dz, dy):
-            # [zb, gs, Wp] padded row of channel k at (dz, dy);
-            # dz, dy in {0, 1, 2} (0 = z-1 row); static offsets
-            return scratch[k, pl.ds(dz, zb), pl.ds(dy, gs), :]
+        zero = jnp.zeros(shape, jnp.float32)
+        Xi_leaves = [xi_ref[xi_fields.index(k)] if xi_need[k]
+                     else zero for k in range(nf)]
+        Xi = unflatten_pt(Xi_leaves)
+        xi_leaf = Xi_leaves.__getitem__
+        occ_i = xi_ref[XI_OCC] > 0.5
 
-        def base_rolled(full, g):
-            # align group g's first window to lane 0: dynamic rotation by
-            # the modular complement (pltpu.roll needs non-negative shifts;
-            # Mosaic forbids unaligned *dynamic* lane slices).  Wrapped
-            # elements land at lanes >= Wp - rot > W + G -- outside every
-            # [u, u + W) sub-window thanks to the halo.
-            Wp_ = W + 2 * PADX
-            return pltpu.roll(full, Wp_ - (PADX - PAD + 1 + g * G), 2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+        yrow = jax.lax.broadcasted_iota(jnp.int32, (1, gs, 1), 1)
+        zrow = jax.lax.broadcasted_iota(jnp.int32, (zb, 1, 1), 0)
+        # slot id of i (f32-exact: < gs^3*C << 2^24)
+        i_ids = (((zi * zb + zrow) * gs + yrow) * W + lane).astype(
+            jnp.float32)
 
-        Xi = unflatten_pt([row(k, 1, 1)[..., PADX:PADX + W]
-                           for k in range(len(field_leaves))])
-        occ_i = row(IDX_OCC, 1, 1)[..., PADX:PADX + W] > 0.5
-        i_ids = row(IDX_PID, 1, 1)[..., PADX:PADX + W]
+        def accumulate(outs, mask, ovj):
+            for o, acc in acc_of_out.items():
+                out_ref[acc] += jnp.where(
+                    mask, jnp.broadcast_to(outs[o], shape), 0.0)
+            if have_fr:
+                fr = jnp.where(mask, jnp.broadcast_to(outs[n_dF], shape),
+                               0.0)
+                out_ref[SUMF] += fr
+                for c in range(3):
+                    out_ref[SUMV + c] += fr * ovj[c]
 
-        accs = [jnp.zeros(probe_shape) for _ in range(M)]
+        def call_force(fn, r, dist, j_ids):
+            # r prebuilt with live-field subtractions only (dead fields
+            # share one zero buffer -- no wasted full-lane subs)
+            dF, aux = _split_probe(fn(Xi, r, dist, i_ids, j_ids))
+            fr = pw_friction(Xi, r, dist, i_ids, j_ids)
+            return (jax.tree.leaves(dF) + [fr]
+                    + [aux[k] for k in aux_keys])
 
-        for dz, dy in combos:
-            rows = [row(k, dz, dy) for k in range(K)]
+        # --- self pairs: once per slab, off the hot loop -------------------
+        if any(live_diag):
+            r0 = unflatten_pt([zero] * nf)
+            outs = call_force(pw_int, r0, zero, i_ids)
+            ov_i = ([xi_ref[XI_OCC + 1 + c] for c in range(3)]
+                    if fr_diag else (zero, zero, zero))
+            accumulate(outs, occ_i, ov_i)
 
-            def group(g, accs):
-                rolled = [base_rolled(rows[k], g) for k in range(K)]
-                for u in range(G):
-                    s = g * G + u
-                    win = lambda k: rolled[k][..., u:u + W]
-                    Xj = unflatten_pt([win(k)
-                                       for k in range(len(field_leaves))])
-                    ovjx = win(IDX_OVX)
-                    ovjy = win(IDX_OVX + 1)
-                    ovjz = win(IDX_OVX + 2)
-                    occ_j = win(IDX_OCC) > 0.5
-                    j_ids = win(IDX_PID)
+        # --- 9 x (4C - 1) offset loop --------------------------------------
+        # j-slab pre-rolled so iteration t sees shift s = t - (2C - 1):
+        # rolled[l] = orig[l + s]
+        rj_ref[...] = pltpu.roll(rj_ref[...], 2 * C - 1, axis=3)
 
-                    shift = s - (PAD - 1)  # actual x-flat shift
-                    dcube = (lane_c + shift + 4 * C) // C - 4
-                    in_x = ((dcube >= -1) & (dcube <= 1)
-                            & (s < shifts))  # mask group padding
+        def body(t, _):
+            s = t - (2 * C - 1)
+            q = lane + s                       # partner's flat x position
+            dcube = (q + 4 * C) // C - (lane + 4 * C) // C
+            valid_x = (q >= 0) & (q < W) & (dcube >= -1) & (dcube <= 1)
 
-                    r = Xi - Xj
+            for dy in (-1, 0, 1):
+                if dy == -1:
+                    base = valid_x & (yrow > 0)
+                elif dy == 1:
+                    base = valid_x & (yrow < gs - 1)
+                else:
+                    base = valid_x
+
+                def jrow(c, dz):
+                    a = rj_ref[c, pl.ds(dz, zb)]       # [zb, gs, W]
+                    if dy:
+                        a = pltpu.roll(a, (gs - dy) % gs, axis=1)
+                    return a
+
+                for dz in (0, 1, 2):
+                    r = unflatten_pt(
+                        [(xi_leaf(k) - jrow(xj_fields.index(k), dz))
+                         if xj_need[k] else zero for k in range(nf)])
+                    occ_j = jrow(RJ_OCC, dz) > 0.5
                     dist = jnp.sqrt(r.x * r.x + r.y * r.y + r.z * r.z)
-                    mask = occ_i & occ_j & in_x & (dist < csize)
+                    mask = occ_i & occ_j & base & (dist < csize)
+                    if dy == 0 and dz == 1:
+                        mask = mask & (s != 0)     # self handled above
 
-                    out = pw_int(Xi, r, dist, i_ids, j_ids)
-                    if (isinstance(out, tuple)
-                            and not hasattr(out, "_fields")
-                            and len(out) == 2 and isinstance(out[1], dict)):
-                        dF, aux = out
-                    else:
-                        dF, aux = out, {}
-                    fr = jnp.where(mask, jnp.broadcast_to(
-                        pw_friction(Xi, r, dist, i_ids, j_ids),
-                        probe_shape), 0.0)
+                    j_ids = i_ids + jnp.float32(
+                        (dz - 1) * gs * W + dy * W) + s.astype(jnp.float32)
+                    outs = call_force(pw_off, r, dist, j_ids)
+                    ovj = ([jrow(RJ_OCC + 1 + c, dz) for c in range(3)]
+                           if fr_off else (zero, zero, zero))
+                    accumulate(outs, mask, ovj)
 
-                    new = []
-                    kidx = 0
-                    for leaf in jax.tree.leaves(dF):
-                        new.append(accs[kidx] + jnp.where(
-                            mask, jnp.broadcast_to(leaf, probe_shape), 0.0))
-                        kidx += 1
-                    new.append(accs[kidx] + fr)
-                    kidx += 1
-                    for ovj in (ovjx, ovjy, ovjz):
-                        new.append(accs[kidx] + fr * ovj)
-                        kidx += 1
-                    for ak in aux_keys:
-                        new.append(accs[kidx] + jnp.where(
-                            mask, jnp.broadcast_to(aux[ak], probe_shape),
-                            0.0))
-                        kidx += 1
-                    accs = new
-                return accs
+            # advance to the next shift: rolled[l] <- rolled[l + 1]
+            rj_ref[...] = pltpu.roll(rj_ref[...], W - 1, axis=3)
+            return 0
 
-            accs = jax.lax.fori_loop(0, n_shift_groups, group, accs)
+        jax.lax.fori_loop(0, n_shifts, body, 0)
 
-        for m in range(M):
-            out_ref[m] = accs[m]
-
-    Wp = W + 2 * PADX
+    pair_lanes = nz * n_shifts * 9 * zb * gs * W
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nz,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (M, zb, gs, W), lambda zi, *_: (0, zi, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((K, zb + 2, GSY, Wp), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((K_i, zb, gs, W), jnp.float32),
+                pltpu.VMEM((K_j, zb + 2, gs, W), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((M, gs, gs, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=pair_lanes * 40, transcendentals=pair_lanes,
+            bytes_accessed=(K_i + K_j + M) * gs * gs * W * 4),
         interpret=_interpret(),
-    )(jnp.asarray([cube_size], jnp.float32), A)
+    )(jnp.asarray([cube_size], jnp.float32), A_i, A_j)
 
     flat = out.reshape(M, n_slots)
-    nf = len(dF_leaves)
-    F = jax.tree.unflatten(dF_tree, [flat[i] for i in range(nf)])
-    sum_f = flat[nf]
-    sum_v = (flat[nf + 1], flat[nf + 2], flat[nf + 3])
-    aux = {k: flat[nf + 4 + i] for i, k in enumerate(aux_keys)}
+    zeros_flat = jnp.zeros((n_slots,), jnp.float32)
+
+    def out_slot(o):
+        return flat[acc_of_out[o]] if o in acc_of_out else zeros_flat
+
+    F = jax.tree.unflatten(dF_tree, [out_slot(o) for o in range(n_dF)])
+    sum_f = flat[SUMF] if have_fr else zeros_flat
+    sum_v = tuple(flat[SUMV + c] for c in range(3)) if have_fr \
+        else (zeros_flat,) * 3
+    aux = {k: out_slot(n_dF + 1 + i) for i, k in enumerate(aux_keys)}
     return F, sum_f, sum_v, aux

@@ -42,6 +42,9 @@ class LatticeLayout(NamedTuple):
     pid: jnp.ndarray     # int32[n_slots], stable id; n_pad = empty
     slot_of: jnp.ndarray  # int32[n_pad], slot per stable id; n_slots = none
     n_dropped: jnp.ndarray  # int32: points that overflowed cube capacity
+    n_oob: jnp.ndarray      # int32: points clipped into edge cubes (out of
+    #                         grid -- mis-binned; ref D_ASSERTs instead,
+    #                         solvers.cuh:361-364)
 
 
 def _cube_ids(X, n, cube_size, grid_size):
@@ -60,57 +63,77 @@ def _cube_ids(X, n, cube_size, grid_size):
 def lattice_build(X, old_v, n, cube_size, grid_size, capacity):
     """Sort by cube id and pour points into the dense lattice.
 
-    Gather-only construction (TPU scatters are slow at this scale):
-    src[c, k] = cube_start[c] + k indexes the sorted order, where
-    cube_start comes from one vectorized searchsorted.
-    """
+    Random-access-minimal construction (XLA:TPU gathers/scatters run at
+    ~1e8 elem/s, so they -- not the sort -- dominate a naive build):
+    every channel rides the cube-id sort as a *payload* (the TPU sort
+    network moves payloads vectorized), and the sorted values land in
+    their slots with one n_pad-sized unique-index scatter per channel --
+    ~n_pad random accesses per channel instead of ~n_slots + n_pad
+    (measured 3.5x faster at 500k cells, C = 8)."""
     n_pad = X.x.shape[0]
     gs, C = grid_size, capacity
     n_cubes = gs * gs * gs
+    n_slots = n_cubes * C
     cid = _cube_ids(X, n, cube_size, grid_size)
     iota = jnp.arange(n_pad, dtype=jnp.int32)
-    sorted_cid, order = jax.lax.sort((cid, iota), num_keys=1)
+    active = iota < n
 
-    cube_start = jnp.searchsorted(sorted_cid,
-                                  jnp.arange(n_cubes + 1, dtype=jnp.int32)
-                                  ).astype(jnp.int32)
-    # src per slot: [n_cubes, C] by broadcast -- no gather
-    src = cube_start[:-1, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
-    valid = src < cube_start[1:, None]
-    src = jnp.where(valid, src, n_pad - 1).reshape(-1)
-    valid = valid.reshape(-1)
+    def outside(v):
+        c = jnp.floor(v / cube_size).astype(jnp.int32) + gs // 2
+        return (c < 0) | (c >= gs)
 
-    sorted_of = lambda a: a[order]          # stable -> sorted (n gathers)
-    to_slots = lambda s: jnp.where(valid, s[src], 0.0)
+    n_oob = jnp.sum(active & (outside(X.x) | outside(X.y) | outside(X.z)),
+                    dtype=jnp.int32)
 
-    T = jax.tree.map(lambda a: to_slots(sorted_of(a)), X)
-    Tov = jax.tree.map(lambda a: to_slots(sorted_of(a)), old_v)
-    pid = jnp.where(valid, order[src], n_pad)
+    leaves_X, tree_X = jax.tree.flatten(X)
+    leaves_ov, tree_ov = jax.tree.flatten(old_v)
+    nx = len(leaves_X)
+    sorted_all = jax.lax.sort((cid, iota, *leaves_X, *leaves_ov),
+                              num_keys=2)
+    sorted_cid, order = sorted_all[0], sorted_all[1]
+    sorted_vals = sorted_all[2:]
 
-    # slot per stable id, via rank arithmetic + one inverse permutation
+    # rank within the cube, from segment starts of the sorted ids
     first = jnp.concatenate([jnp.ones(1, bool),
                              sorted_cid[1:] != sorted_cid[:-1]])
     seg_start = jax.lax.cummax(jnp.where(first, iota, 0))
-    rank = iota - seg_start                      # per sorted position
-    _, inv_order = jax.lax.sort((order, iota), num_keys=1)
-    rank_of = rank[inv_order]
-    ok = (rank_of < C) & (iota < n)
-    slot_of = jnp.where(ok, cid * C + rank_of, n_cubes * C)
+    rank = iota - seg_start
+    ok = (rank < C) & (sorted_cid < n_cubes)
+    slot_sorted = jnp.where(ok, sorted_cid * C + rank, n_slots)  # drop
+
+    def pour(sorted_a, fill=0.0):
+        return jnp.full(n_slots, fill, sorted_a.dtype) \
+            .at[slot_sorted].set(sorted_a, mode="drop",
+                                 unique_indices=True)
+
+    T = jax.tree.unflatten(tree_X, [pour(v) for v in sorted_vals[:nx]])
+    Tov = jax.tree.unflatten(tree_ov, [pour(v) for v in sorted_vals[nx:]])
+    pid = pour(order, n_pad)
+    slot_of = jnp.full(n_pad, n_slots, jnp.int32) \
+        .at[order].set(slot_sorted, mode="drop", unique_indices=True)
     n_dropped = jnp.sum((rank >= C) & (sorted_cid < n_cubes))
     return LatticeLayout(T=T, Tov=Tov, pid=pid, slot_of=slot_of,
-                         n_dropped=n_dropped)
+                         n_dropped=n_dropped, n_oob=n_oob)
 
 
 def lattice_unbuild(layout: LatticeLayout, X, old_v):
     """Back to stable-id arrays; untouched entries (inactive or dropped)
-    keep their previous values."""
+    keep their previous values.
+
+    One stacked *column* gather instead of per-channel gathers: XLA:TPU
+    gathers contiguous [K, 1] columns ~2x faster than K separate row
+    gathers (measured 51 vs 111 ms for 11 x 524k at 500k cells)."""
     n_slots = layout.pid.shape[0]
     ok = layout.slot_of < n_slots
     pick = jnp.where(ok, layout.slot_of, 0)
-    take = lambda new, old: jnp.where(ok, new[pick], old)
-    X_new = jax.tree.map(take, layout.T, X)
-    ov_new = jax.tree.map(take, layout.Tov, old_v)
-    return X_new, ov_new
+    leaves_T, tree_T = jax.tree.flatten(layout.T)
+    leaves_ov, tree_ov = jax.tree.flatten(layout.Tov)
+    G = jnp.stack(leaves_T + leaves_ov)[:, pick]   # [K, n_pad]
+    olds = jax.tree.leaves(X) + jax.tree.leaves(old_v)
+    outs = [jnp.where(ok, G[k], old) for k, old in enumerate(olds)]
+    nx = len(leaves_T)
+    return (jax.tree.unflatten(tree_T, outs[:nx]),
+            jax.tree.unflatten(tree_ov, outs[nx:]))
 
 
 def lattice_overflow_count(layout):
@@ -299,27 +322,36 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         return jax.tree.map(lambda a: jnp.where(ok, a[pick], fill),
                             tree_slots)
 
+    def nonfinite(tree):
+        return jnp.any(jnp.stack([jnp.any(~jnp.isfinite(a))
+                                  for a in jax.tree.leaves(tree)]))
+
     def chunk_exact(carry, _):
         """rebuild_every == 1: fresh binning per pass (reference-exact)."""
-        X, old_v = carry
+        X, old_v, dropped, bad = carry
 
         def dstable(Xc):
             lay = lattice_build(Xc, old_v, n, cube_size, gs, C)
             dXs, aux_s = deriv(lay, lay.T, n)
-            return to_stable(lay, dXs), to_stable(lay, aux_s)
+            return (to_stable(lay, dXs), to_stable(lay, aux_s),
+                    jnp.maximum(lay.n_dropped, lay.n_oob))
 
-        d1, _ = dstable(X)
+        d1, _, dr1 = dstable(X)
         X1 = jax.tree.map(lambda a, b: a + b * dt, X, d1)
-        d2, aux = dstable(X1)
+        d2, aux, dr2 = dstable(X1)
         X_new = jax.tree.map(lambda a, b, c: a + (b + c) * (0.5 * dt),
                              X, d1, d2)
         ov = Float3(x=(d1.x + d2.x) * 0.5, y=(d1.y + d2.y) * 0.5,
                     z=(d1.z + d2.z) * 0.5)
-        return (X_new, ov), aux
+        dropped = jnp.maximum(dropped, jnp.maximum(dr1, dr2))
+        bad = bad | nonfinite(X_new)
+        return (X_new, ov, dropped, bad), aux
 
     def chunk(carry, _):
-        X, old_v = carry
+        X, old_v, dropped, bad = carry
         lay = lattice_build(X, old_v, n, cube_size, gs, C)
+        dropped = jnp.maximum(dropped,
+                              jnp.maximum(lay.n_dropped, lay.n_oob))
 
         def step(c, _):
             T, Tov = c
@@ -339,9 +371,16 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         X, old_v = lattice_unbuild(lay, X, old_v)
         # aux accumulators back to stable-id order
         aux_last = to_stable(lay, jax.tree.map(lambda a: a[-1], auxs))
-        return (X, old_v), aux_last
+        bad = bad | nonfinite(X)
+        return (X, old_v, dropped, bad), aux_last
 
     body = chunk_exact if rebuild_every == 1 else chunk
-    (X, old_v), auxs = jax.lax.scan(body, (X, old_v), None,
-                                    length=n_steps // rebuild_every)
-    return X, old_v, jax.tree.map(lambda a: a[-1], auxs)
+    carry0 = (X, old_v, jnp.int32(0), jnp.bool_(False))
+    (X, old_v, dropped, bad), auxs = jax.lax.scan(
+        body, carry0, None, length=n_steps // rebuild_every)
+    aux = jax.tree.map(lambda a: a[-1], auxs)
+    # in-loop failure flags (the reference's D_ASSERT layer): cube-capacity
+    # drops at any rebuild and non-finite state at any chunk boundary
+    aux["__err_lattice_dropped"] = dropped
+    aux["__err_non_finite"] = bad
+    return X, old_v, aux

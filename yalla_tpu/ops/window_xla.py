@@ -152,6 +152,10 @@ def window_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
                 sum_v = tuple(a + c for a, c in zip(acc[2], out[2]))
                 aux = {k: acc[3][k] + out[3][k] for k in acc[3]}
                 acc = (F, sum_f, sum_v, aux)
+        # in-loop capacity check: a window wider than w_max drops candidates
+        over = jnp.any(we[b] - ws[b] > w_max).astype(jnp.float32)
+        acc[3]["__err_grid_overflow"] = jnp.where(
+            active_i[:, 0], over, 0.0)
         return acc
 
     if nb == 1:

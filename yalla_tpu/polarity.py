@@ -46,10 +46,16 @@ def pol_to_float3(p, axis=DEFAULT_AXIS):
 
 
 def pt_to_pol(r, dist=None):
-    """Cartesian -> spherical (ref polarity.cuh:23-39)."""
+    """Cartesian -> spherical (ref polarity.cuh:23-39).
+
+    The cosine is clamped to [-1, 1]: for real inputs |r.z| <= dist always
+    (identical result), but our engines evaluate masked-out pair lanes the
+    reference never runs (e.g. dist substituted by 1.0 beyond the cutoff),
+    and an out-of-domain arccos there poisons the whole per-cell sum
+    through NaN * 0 = NaN."""
     if dist is None:
         dist = jnp.sqrt(r.x * r.x + r.y * r.y + r.z * r.z)
-    return Polarity(theta=jnp.arccos(r.z / dist),
+    return Polarity(theta=jnp.arccos(jnp.clip(r.z / dist, -1.0, 1.0)),
                     phi=jnp.arctan2(r.y, r.x))
 
 
@@ -152,19 +158,25 @@ def apical_constriction_force(Xi, r, dist, pref_angle, axis=DEFAULT_AXIS):
 
 def polarity_precompute(X, n, axis=DEFAULT_AXIS, prefix="p"):
     """Per-cell polarity trig as derived fields
-    {px, py, pz, pcf, psf, pst}: the unit vector, cos(phi) / sin(phi),
-    and *signed* sin(theta) (matching the reference's division by the
-    signed value near the poles, polarity.cuh:56-58).
+    {px, py, pz, pcf, psf, pst, psg}: the unit vector, cos(phi) / sin(phi),
+    *signed* sin(theta) (matching the reference's division by the signed
+    value near the poles, polarity.cuh:56-58), and the gimbal-guarded
+    reciprocal 1/sin(theta) (zero at the poles) so the pair pass divides
+    nowhere.
 
     Use as the ``precompute`` hook of the solvers; the fields flow through
-    Xi / Xj / r in any engine.
+    Xi / Xj / r in any engine.  Only the unit vector is ever read on the
+    j side, so engines with i-only channel analysis (the Pallas lattice
+    kernel) carry the other four for free.
     """
     th, ph = _angles(X, axis)
     cf, sf = jnp.cos(ph), jnp.sin(ph)
     st = jnp.sin(th)
+    safe = jnp.abs(st) > 1e-10
+    sg = jnp.where(safe, 1.0 / jnp.where(safe, st, 1.0), 0.0)
     return {prefix + "x": st * cf, prefix + "y": st * sf,
             prefix + "z": jnp.cos(th), prefix + "cf": cf, prefix + "sf": sf,
-            prefix + "st": st}
+            prefix + "st": st, prefix + "sg": sg}
 
 
 def polarity_precompute3(X, n, axis=DEFAULT_AXIS, prefix="p"):
@@ -182,52 +194,72 @@ def polarity_precompute3(X, n, axis=DEFAULT_AXIS, prefix="p"):
             prefix + "z": jnp.cos(th)}
 
 
-def _unidir_from_vec(pz, st, cf, sf, rx, ry, rz, dist):
+def _trig_of(Xi, p):
+    """(st, cf, sf, inv_st) from precomputed channels, or derived from the
+    unit vector (compact ``polarity_precompute3`` mode).  ``inv_st`` is the
+    gimbal-guarded 1/sin(theta) (zero at the poles, polarity.cuh:56-58)."""
+    pxi, pyi = getattr(Xi, p + "x"), getattr(Xi, p + "y")
+    if hasattr(Xi, p + "st"):
+        st = getattr(Xi, p + "st")
+        cf = getattr(Xi, p + "cf")
+        sf = getattr(Xi, p + "sf")
+        if hasattr(Xi, p + "sg"):
+            inv_st = getattr(Xi, p + "sg")
+        else:
+            safe = jnp.abs(st) > 1e-10
+            inv_st = jnp.where(safe, 1.0 / jnp.where(safe, st, 1.0), 0.0)
+    else:  # compact precompute: derive per-pair from the vector
+        st = jnp.sqrt(pxi * pxi + pyi * pyi)   # |sin theta|
+        safe = st > 1e-10
+        inv_st = jnp.where(safe, 1.0 / jnp.where(safe, st, 1.0), 0.0)
+        cf = jnp.where(safe, pxi * inv_st, 1.0)
+        sf = pyi * inv_st
+    return st, cf, sf, inv_st
+
+
+def _unidir_from_vec(pz, st, cf, sf, inv_st, rx, ry, rz, inv):
     """unidirectional_polarization_force(Xi, r_hat) from the precomputed
-    per-point trig: d_theta = (cos t (cf rx + sf ry) - sin t rz) / d,
-    d_phi = (cf ry - sf rx) / (d sin t) with the reference's
-    |sin theta| > 1e-10 gimbal guard (polarity.cuh:56-58)."""
-    d_theta = (pz * (cf * rx + sf * ry) - st * rz) / dist
-    safe = jnp.abs(st) > 1e-10
-    d_phi = jnp.where(safe, (cf * ry - sf * rx)
-                      / (dist * jnp.where(safe, st, 1.0)), 0.0)
+    per-point trig, in reciprocal form (``inv`` = 1/dist):
+    d_theta = (cos t (cf rx + sf ry) - sin t rz) / d,
+    d_phi = (cf ry - sf rx) / (d sin t); ``inv_st`` carries the reference's
+    |sin theta| > 1e-10 gimbal guard (polarity.cuh:56-58) as a zero."""
+    d_theta = (pz * (cf * rx + sf * ry) - st * rz) * inv
+    d_phi = (cf * ry - sf * rx) * inv * inv_st
     return d_theta, d_phi
 
 
-def bending_force_fast(Xi, r, dist, axis=DEFAULT_AXIS, p="p"):
+def bending_force_fast(Xi, r, dist, axis=DEFAULT_AXIS, p="p", inv=None):
     """``bending_force`` on precomputed polarity trig (see
-    ``polarity_precompute``); identical physics, no per-pair trig.
+    ``polarity_precompute``); identical physics, no per-pair trig, and --
+    given ``inv`` = 1/dist -- no per-pair division either (the hot-loop
+    form for the TPU kernels: everything below is mul/add).
 
-    Xi must carry the {p}x/{p}y/{p}z/{p}cf/{p}sf/{p}st fields; Xj's vector
-    arrives as ``Xi.p - r.p`` because engines form r component-wise.
+    Xi must carry the {p}x/{p}y/{p}z (and ideally {p}cf/{p}sf/{p}st/{p}sg)
+    fields; Xj's vector arrives as ``Xi.p - r.p`` because engines form r
+    component-wise.
     """
     pxi, pyi, pzi = (getattr(Xi, p + f) for f in ("x", "y", "z"))
     pxj = pxi - getattr(r, p + "x")
     pyj = pyi - getattr(r, p + "y")
     pzj = pzi - getattr(r, p + "z")
+    if inv is None:
+        inv = 1.0 / dist
+    st, cf, sf, inv_st = _trig_of(Xi, p)
 
-    if hasattr(Xi, p + "st"):
-        st = getattr(Xi, p + "st")
-        cf = getattr(Xi, p + "cf")
-        sf = getattr(Xi, p + "sf")
-    else:  # compact precompute: derive per-pair from the vector
-        st = jnp.sqrt(pxi * pxi + pyi * pyi)   # |sin theta|
-        s_safe = jnp.where(st > 1e-10, st, 1.0)
-        cf = jnp.where(st > 1e-10, pxi / s_safe, 1.0)
-        sf = jnp.where(st > 1e-10, pyi / s_safe, 0.0)
+    # prodi = (p_i . r) / d; a = prodi / d; force = a^2 r - a p
+    prodi = (pxi * r.x + pyi * r.y + pzi * r.z) * inv
+    d_theta, d_phi = _unidir_from_vec(pzi, st, cf, sf, inv_st,
+                                      r.x, r.y, r.z, inv)
+    ai = prodi * inv
+    fx = ai * ai * r.x - ai * pxi
+    fy = ai * ai * r.y - ai * pyi
+    fz = ai * ai * r.z - ai * pzi
 
-    prodi = (pxi * r.x + pyi * r.y + pzi * r.z) / dist
-    d_theta, d_phi = _unidir_from_vec(pzi, st, cf, sf, r.x, r.y, r.z, dist)
-
-    d2 = dist * dist
-    fx = -prodi / dist * pxi + prodi * prodi / d2 * r.x
-    fy = -prodi / dist * pyi + prodi * prodi / d2 * r.y
-    fz = -prodi / dist * pzi + prodi * prodi / d2 * r.z
-
-    prodj = (pxj * r.x + pyj * r.y + pzj * r.z) / dist
-    fx = fx - prodj / dist * pxj + prodj * prodj / d2 * r.x
-    fy = fy - prodj / dist * pyj + prodj * prodj / d2 * r.y
-    fz = fz - prodj / dist * pzj + prodj * prodj / d2 * r.z
+    prodj = (pxj * r.x + pyj * r.y + pzj * r.z) * inv
+    aj = prodj * inv
+    fx = fx + aj * aj * r.x - aj * pxj
+    fy = fy + aj * aj * r.y - aj * pyj
+    fz = fz + aj * aj * r.z - aj * pzj
 
     dF = pt_zeros_like(Xi)
     return dF.replace(x=fx, y=fy, z=fz,
@@ -235,30 +267,32 @@ def bending_force_fast(Xi, r, dist, axis=DEFAULT_AXIS, p="p"):
 
 
 def apical_constriction_force_fast(Xi, r, dist, pref_angle,
-                                   axis=DEFAULT_AXIS, p="p"):
+                                   axis=DEFAULT_AXIS, p="p", inv=None):
     """``apical_constriction_force`` on precomputed polarity trig
-    (see ``polarity_precompute``); identical physics, no per-pair trig."""
+    (see ``polarity_precompute``); identical physics, no per-pair trig,
+    division-free given ``inv`` = 1/dist."""
     cos_pref = jnp.cos(pref_angle)
     pxi, pyi, pzi = (getattr(Xi, p + f) for f in ("x", "y", "z"))
     pxj = pxi - getattr(r, p + "x")
     pyj = pyi - getattr(r, p + "y")
     pzj = pzi - getattr(r, p + "z")
+    if inv is None:
+        inv = 1.0 / dist
+    st, cf, sf, inv_st = _trig_of(Xi, p)
 
-    prodi = (pxi * r.x + pyi * r.y + pzi * r.z) / dist + cos_pref
-    d_theta, d_phi = _unidir_from_vec(
-        pzi, getattr(Xi, p + "st"),
-        getattr(Xi, p + "cf"), getattr(Xi, p + "sf"),
-        r.x, r.y, r.z, dist)
+    prodi = (pxi * r.x + pyi * r.y + pzi * r.z) * inv + cos_pref
+    d_theta, d_phi = _unidir_from_vec(pzi, st, cf, sf, inv_st,
+                                      r.x, r.y, r.z, inv)
+    ai = prodi * inv
+    fx = ai * ai * r.x - ai * pxi
+    fy = ai * ai * r.y - ai * pyi
+    fz = ai * ai * r.z - ai * pzi
 
-    d2 = dist * dist
-    fx = -prodi / dist * pxi + prodi * prodi / d2 * r.x
-    fy = -prodi / dist * pyi + prodi * prodi / d2 * r.y
-    fz = -prodi / dist * pzi + prodi * prodi / d2 * r.z
-
-    prodj = (pxj * r.x + pyj * r.y + pzj * r.z) / dist - cos_pref
-    fx = fx - prodj / dist * pxj + prodj * prodj / d2 * r.x
-    fy = fy - prodj / dist * pyj + prodj * prodj / d2 * r.y
-    fz = fz - prodj / dist * pzj + prodj * prodj / d2 * r.z
+    prodj = (pxj * r.x + pyj * r.y + pzj * r.z) * inv - cos_pref
+    aj = prodj * inv
+    fx = fx + aj * aj * r.x - aj * pxj
+    fy = fy + aj * aj * r.y - aj * pyj
+    fz = fz + aj * aj * r.z - aj * pzj
 
     dF = pt_zeros_like(Xi)
     return dF.replace(x=fx, y=fy, z=fz,
@@ -267,11 +301,19 @@ def apical_constriction_force_fast(Xi, r, dist, pref_angle,
 
 def orthonormal(r, p):
     """Unit vector in the r-plane orthogonal to unit p
-    (ref polarity.cuh:125-131)."""
+    (ref polarity.cuh:125-131).
+
+    Guarded at norm == 0 (r exactly parallel to p, or r == 0): returns the
+    zero vector instead of NaN.  The reference never evaluates such pairs
+    (its functors early-return on i == j / beyond-cutoff); our engines
+    evaluate every candidate lane and mask afterwards, so the degenerate
+    lanes must stay finite or NaN * 0 poisons the per-cell sums."""
     rp = r.x * p.x + r.y * p.y + r.z * p.z
     nx, ny, nz = r.x - rp * p.x, r.y - rp * p.y, r.z - rp * p.z
-    norm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
-    return Float3(x=nx / norm, y=ny / norm, z=nz / norm)
+    n2 = nx * nx + ny * ny + nz * nz
+    pos = n2 > 0
+    inv = jnp.where(pos, jax.lax.rsqrt(jnp.where(pos, n2, 1.0)), 0.0)
+    return Float3(x=nx * inv, y=ny * inv, z=nz * inv)
 
 
 def migration_force(Xi, r, dist, axis=DEFAULT_AXIS):

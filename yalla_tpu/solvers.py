@@ -32,8 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .dtypes import Float3, make_pt
-from .ops.common import (friction_on_background, friction_w_neighbour,
-                         mask_tree)
+from .ops.common import (ERR_PREFIX, friction_on_background,
+                         friction_w_neighbour, mask_tree)
 from .ops.grid_xla import gabriel_pairwise, grid_pairwise, grid_overflow, \
     grid_out_of_bounds, build_grid
 from .ops.pairwise_xla import tile_pairwise
@@ -41,9 +41,15 @@ from .ops.pairwise_xla import tile_pairwise
 __all__ = [
     "TileEngine", "GridEngine", "GabrielEngine", "WindowEngine",
     "LatticeEngine",
-    "GenericForce", "Solution", "heun_step", "heun_steps",
+    "GenericForce", "Solution", "SimulationError", "heun_step", "heun_steps",
     "friction_w_neighbour", "friction_on_background",
 ]
+
+
+class SimulationError(RuntimeError):
+    """A D_ASSERT-class failure detected inside the hot loop: engine
+    capacity overflow (silent pair/cell loss) or non-finite state
+    (ref cudebug.cuh:8-35, solvers.cuh:82, 90, 153-154)."""
 
 
 # --------------------------------------------------------------------------
@@ -225,6 +231,9 @@ def _deriv(engine, pw_int, pw_friction, gen, fix_mode, precompute,
     active = jnp.arange(X.x.shape[0], dtype=jnp.int32) < n
     F, sum_f, sum_v, aux = engine.pairwise(
         pw_int, pw_friction, augment(X, n, precompute), old_v, n, cube_size)
+    # engine failure flags reduce to scalars (cheap to carry through scans)
+    aux = {k: (jnp.max(v) if k.startswith(ERR_PREFIX) else v)
+           for k, v in aux.items()}
     F = truncate_aug(F, type(X))
     if gen is not None:
         F = F + gen.fn(X, n, gen_args)
@@ -238,6 +247,11 @@ def _deriv(engine, pw_int, pw_friction, gen, fix_mode, precompute,
     dX = dX.replace(x=jnp.where(active, dX.x - fx, 0.0),
                     y=jnp.where(active, dX.y - fy, 0.0),
                     z=jnp.where(active, dX.z - fz, 0.0))
+    # NaN guard in the hot path (ref add_rhs D_ASSERTs, solvers.cuh:153-154)
+    bad = jnp.zeros((), dtype=bool)
+    for leaf in jax.tree.leaves(dX):
+        bad = bad | jnp.any(~jnp.isfinite(leaf))
+    aux["__err_non_finite"] = bad.astype(jnp.float32)
     return dX, aux
 
 
@@ -270,7 +284,10 @@ def heun_steps(n_steps, engine, pw_int, pw_friction, gen, fix_mode,
                                   gen_args, precompute)
         return (X, old_v), aux
     (X, old_v), auxs = jax.lax.scan(body, (X, old_v), None, length=n_steps)
-    aux = jax.tree.map(lambda a: a[-1], auxs) if auxs else {}
+    # failure flags accumulate (max) across the fused steps: a transient
+    # overflow mid-run already mis-integrated the state and must surface
+    aux = {k: (a.max(0) if k.startswith(ERR_PREFIX) else a[-1])
+           for k, a in auxs.items()} if auxs else {}
     return X, old_v, aux
 
 
@@ -303,7 +320,12 @@ class Solution:
         self.n_pad = int(n_pad) if n_pad else _pad_size(self.n_max)
         assert self.n_pad >= self.n_max
         if engine is None:
-            if solver == "tile":
+            if solver == "auto":
+                # resolved lazily from the initial state (tile below the
+                # all-pairs crossover, Pallas lattice above; cf. the
+                # reference's ~7k-point grid crossover, solvers.cuh:346-347)
+                engine = None
+            elif solver == "tile":
                 engine = TileEngine()
             elif solver == "grid":
                 engine = GridEngine(grid_size=grid_size, row_cap=row_cap)
@@ -369,9 +391,42 @@ class Solution:
     def _ensure_device(self):
         if self.d_X is None:
             self.copy_to_device()
+        if self.engine is None:
+            self.engine = self._auto_engine()
+
+    def _auto_engine(self):
+        """Pick an engine from capacity and the current state extent:
+        all-pairs below the crossover (cf. ref solvers.cuh:346-347, "maybe
+        7k points"; the Pallas lattice moves it lower on TPU), dense
+        Pallas lattice above, sized to the populated bounding box plus
+        growth headroom."""
+        if self.n_max <= 2048:
+            return TileEngine()
+        n = int(self.d_n)
+        h = [np.asarray(a[:max(n, 1)]) for a in
+             (self.d_X.x, self.d_X.y, self.d_X.z)]
+        extent = max(float(np.max(np.abs(a))) for a in h) if n else 1.0
+        margin = max(2.0 * self.cube_size, 0.3 * extent)
+        gs = 16
+        while gs * self.cube_size < 2.0 * (extent + margin):
+            gs *= 2
+        # capacity from the measured max cube occupancy (+2 headroom;
+        # overflow during the run raises via the in-loop flags), rounded
+        # up so gs * capacity stays a multiple of 128 lanes
+        cid = 0
+        for a in h:
+            cid = cid * gs + np.clip(
+                np.floor(a / self.cube_size).astype(np.int64) + gs // 2,
+                0, gs - 1)
+        max_occ = int(np.bincount(cid).max()) if n else 1
+        step = max(1, 128 // gs)
+        cap = -(-(max_occ + 2) // step) * step
+        pallas = jax.default_backend() == "tpu"
+        return LatticeEngine(grid_size=gs, capacity=cap, z_block=2,
+                             pallas=pallas)
 
     def take_step(self, dt, pw_int, *, pw_friction=friction_w_neighbour,
-                  gen_forces=None, precompute=None):
+                  gen_forces=None, precompute=None, check_errors=True):
         """One Heun step (ref Solution::take_step, solvers.cuh:94-105)."""
         self._ensure_device()
         gen = _as_generic(gen_forces)
@@ -382,11 +437,34 @@ class Solution:
             self.d_X, self.d_old_v, self.d_n, jnp.float32(dt),
             jnp.float32(self.cube_size), jnp.int32(self._fix_point), gen_args,
             precompute)
+        if check_errors:
+            self._check_errors()
         return self.aux
+
+    def _check_errors(self):
+        """Check the in-loop failure flags published by the last launch and
+        raise ``SimulationError`` -- the rebuild of the reference's
+        in-kernel D_ASSERTs (capacity, solvers.cuh:82,90; NaN,
+        solvers.cuh:153-154).  One host readback per launch, exactly like
+        the reference's per-launch CHECK_CUDA."""
+        problems = []
+        for k, v in self.aux.items():
+            if not k.startswith("__err_"):
+                continue
+            val = np.asarray(v)
+            if val.any():
+                detail = f" ({val.sum():.0f})" if val.size == 1 and \
+                    val.dtype.kind in "iu" else ""
+                problems.append(k[len("__err_"):] + detail)
+        if problems:
+            raise SimulationError(
+                "in-loop failure detected: " + ", ".join(problems)
+                + " -- raise engine capacity (grid row_cap / lattice "
+                "capacity / window w_max) or check the forces for NaN")
 
     def take_steps(self, n_steps, dt, pw_int, *,
                    pw_friction=friction_w_neighbour, gen_forces=None,
-                   precompute=None):
+                   precompute=None, check_errors=True):
         """``n_steps`` device-fused steps (lax.scan hot loop).
 
         With a LatticeEngine and no generic forces, this routes to the
@@ -403,6 +481,8 @@ class Solution:
                 self.d_X, self.d_old_v, self.d_n, jnp.float32(dt),
                 jnp.float32(self.cube_size), jnp.int32(self._fix_point),
                 precompute, e.pallas)
+            if check_errors:
+                self._check_errors()
             return self.aux
         gen = _as_generic(gen_forces)
         gen_args = gen.args if gen is not None else None
@@ -412,6 +492,8 @@ class Solution:
             self._fix_mode, self.d_X, self.d_old_v, self.d_n,
             jnp.float32(dt), jnp.float32(self.cube_size),
             jnp.int32(self._fix_point), gen_args, precompute)
+        if check_errors:
+            self._check_errors()
         return self.aux
 
     # -- diagnostics ----------------------------------------------------------
