@@ -44,17 +44,18 @@ def main():
     ctype = Property(cells.n_pad, "type")
     clone = Property(cells.n_pad, "cell_clone")
 
-    with Vtk_output("branching") as output:
+    # async_write: frame t transfers/formats/writes on a worker thread
+    # while the device computes frame t+1 (ref branching.cu:263-281)
+    with Vtk_output("branching", async_write=True) as output:
         for t in range(n_frames + 1):
-            # host write of frame t overlaps the async computation of t+1
             cells.d_X, cells.d_old_v, cells.d_n = \
                 state.X, state.old_v, state.n
             output.write_positions(cells)
             output.write_polarity(cells)
             output.write_field(cells, "u")
             output.write_field(cells, "v")
-            ctype.h_prop = np.asarray(state.X.ctype).astype(np.int32)
-            clone.h_prop = np.asarray(state.lineage.cell_clone)
+            ctype.d_prop = state.X.ctype.astype(jnp.int32)
+            clone.d_prop = state.lineage.cell_clone
             output.write_property(ctype)
             output.write_property(clone)
             state = frame(state, jnp.float32(t / max(n_frames, 1)))

@@ -85,3 +85,63 @@ def test_links_and_mask(tmp_path):
     output.write_positions(pts, mask=mask)
     text = open(out_dir + "masked_1.vtk").read()
     assert "POINTS 3 float" in text
+
+
+def test_async_write_matches_sync(tmp_path):
+    """async_write=True produces byte-identical files to sync mode while
+    returning before the data hits disk (the reference's overlapped-I/O
+    pattern, branching.cu:263-281)."""
+    from yalla_tpu import Float3
+    from yalla_tpu.links import Links
+
+    n = 50
+    out_dir_s = str(tmp_path) + "/sync/"
+    out_dir_a = str(tmp_path) + "/async/"
+    pts = Solution(Po_cell4, n, solver="tile")
+    pts.h_X.x[:n] = rng.random(n)
+    pts.h_X.y[:n] = rng.random(n)
+    pts.h_X.z[:n] = rng.random(n)
+    pts.h_X.w[:n] = rng.random(n)
+    pts.h_X.theta[:n] = np.arccos(2 * rng.random(n) - 1)
+    pts.h_X.phi[:n] = rng.random(n) * 2 * math.pi - math.pi
+    pts.copy_to_device()
+    ints = Property(n, "intprop", np.int32)
+    ints.h_prop[:] = rng.integers(0, 100, n)
+    ints.copy_to_device()
+    links = Links(3)
+    links.h_a[:3] = [0, 1, 2]
+    links.h_b[:3] = [3, 4, 5]
+    links.copy_to_device()
+    mask = np.arange(n) % 5 != 0
+
+    for out_dir, async_write in ((out_dir_s, False), (out_dir_a, True)):
+        with Vtk_output("t", out_dir, verbose=False,
+                        async_write=async_write) as out:
+            for _ in range(3):  # multiple frames exercise queue ordering
+                out.write_positions(pts, mask=mask)
+                out.write_links(links)
+                out.write_polarity(pts)
+                out.write_field(pts, "w")
+                out.write_property(ints)
+
+    for t in range(3):
+        a = open(out_dir_s + f"t_{t}.vtk").read()
+        b = open(out_dir_a + f"t_{t}.vtk").read()
+        assert a == b, f"frame {t} differs between sync and async"
+
+
+def test_async_write_propagates_errors(tmp_path):
+    from yalla_tpu import Float3
+    pts = Solution(Float3, 8, solver="tile")
+    pts.copy_to_device()
+    out = Vtk_output("e", str(tmp_path) + "/", verbose=False,
+                     async_write=True)
+    out.write_positions(pts)
+    out._current_path = "/nonexistent-dir/zz.vtk"  # force a worker error
+    out.write_field(pts, "x")
+    try:
+        out.close()
+    except FileNotFoundError:
+        pass
+    else:
+        raise AssertionError("worker error was swallowed")

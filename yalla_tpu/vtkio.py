@@ -8,15 +8,21 @@ and properties -- VTK files double as checkpoints
 (cf. ``examples/intercalation_w_gradient.cu:179-205``).
 
 Formatting is vectorized through numpy; writing happens on the host, off
-the device hot path (JAX dispatch is async, so compute for the next steps
-overlaps the write, replacing the reference's explicit I/O thread,
-``examples/branching.cu:263-281``).
+the device hot path.  With ``async_write=True`` every ``write_*`` call
+captures references to the (immutable) device buffers and enqueues the
+device->host transfer + formatting + file write on a single worker thread,
+so frame t serializes while the device computes frame t+1 -- the rebuild
+of the reference's explicit I/O thread (``examples/branching.cu:263-281``;
+FIFO ordering on one worker preserves the required section order within
+each .vtk file).
 """
 from __future__ import annotations
 
 import io
 import os
 import time
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -39,9 +45,18 @@ def _fmt_rows(arr):
 
 
 class Vtk_output:
-    """Write one .vtk file per step (ref vtk.cuh:29-214)."""
+    """Write one .vtk file per step (ref vtk.cuh:29-214).
 
-    def __init__(self, base_name, output_path="output/", verbose=True):
+    With ``async_write=True``, every ``write_*`` call returns immediately:
+    it captures references to the immutable device buffers and enqueues
+    transfer + formatting + write on one worker thread (frame t writes
+    while the device computes t+1, ref branching.cu:263-281).  At most
+    ``max_queue`` jobs are in flight; ``close()`` (or the context manager
+    exit) drains the queue and re-raises any worker error.
+    """
+
+    def __init__(self, base_name, output_path="output/", verbose=True,
+                 async_write=False, max_queue=8):
         self.base_name = base_name
         self.output_dir = output_path if output_path.endswith("/") \
             else output_path + "/"
@@ -49,109 +64,200 @@ class Vtk_output:
         self.verbose = verbose
         self.time_step = 0
         self.n_points = 0
-        self._mask = None
+        self._frame = {"mask": None, "n_written": 0}
         self._current_path = None
         self._point_data_started = False
         self._t0 = time.time()
+        self._pool = ThreadPoolExecutor(
+            1, thread_name_prefix=f"vtk-{base_name}") if async_write else None
+        self._pending: deque = deque()
+        self._max_queue = max_queue
+
+    # -- async plumbing ------------------------------------------------------
+    def _submit(self, job):
+        if self._pool is None:
+            job()
+            return
+        while len(self._pending) >= self._max_queue:
+            self._pending.popleft().result()  # backpressure + error check
+        self._pending.append(self._pool.submit(job))
+
+    def drain(self):
+        """Block until all queued writes hit disk (re-raises worker errors)."""
+        while self._pending:
+            self._pending.popleft().result()
+
+    def _dev_field(self, points, field):
+        """Capture a per-point array for a write job.  Sync mode keeps the
+        reference semantics (read the host mirror, fresh from the
+        ``copy_to_host`` in ``write_positions``); async mode captures the
+        immutable device array without synchronizing (snapshotting the host
+        mirror only if there is no device state)."""
+        if self._pool is None:
+            return getattr(points.h_X, field)
+        d_X = getattr(points, "d_X", None)
+        if d_X is not None:
+            return getattr(d_X, field)
+        return np.array(getattr(points.h_X, field))
 
     # -- positions (must be written first, ref vtk.cuh:93-135) --------------
     def write_positions(self, points, mask=None):
-        h = points.copy_to_host()
-        n = points.h_n
+        if self._pool is None:
+            points.copy_to_host()
+            n = points.h_n
+            xs = [points.h_X.x, points.h_X.y, points.h_X.z]
+        else:
+            if getattr(points, "d_X", None) is None:
+                points.copy_to_device()
+            n = points.get_d_n()
+            xs = [points.d_X.x, points.d_X.y, points.d_X.z]
         self.n_points = n
-        self._mask = None if mask is None else np.asarray(mask[:n], bool)
-        sel = slice(None) if self._mask is None else self._mask
-        xyz = np.stack([h.x[:n], h.y[:n], h.z[:n]], axis=1)[sel]
-        n_write = xyz.shape[0]
+        path = f"{self.output_dir}{self.base_name}_{self.time_step}.vtk"
+        self._current_path = path
+        frame = {}
+        self._frame = frame
+        base_name = self.base_name
 
-        self._current_path = (f"{self.output_dir}{self.base_name}_"
-                              f"{self.time_step}.vtk")
-        with open(self._current_path, "w") as f:
-            f.write("# vtk DataFile Version 3.0\n")
-            f.write(f"{self.base_name}\n")
-            f.write("ASCII\nDATASET POLYDATA\n")
-            f.write(f"\nPOINTS {n_write} float\n")
-            f.write(_fmt_rows(xyz))
-            f.write(f"\nVERTICES {n_write} {2 * n_write}\n")
-            from . import _native
-            verts = _native.format_vertices(n_write)
-            f.write(verts if verts is not None
-                    else "".join(f"1 {i}\n" for i in range(n_write)))
+        def job():
+            m = None if mask is None else np.asarray(mask)[:n].astype(bool)
+            sel = slice(None) if m is None else m
+            xyz = np.stack([np.asarray(a)[:n] for a in xs], axis=1)[sel]
+            n_write = xyz.shape[0]
+            frame["mask"] = m
+            frame["n_written"] = n_write
+            with open(path, "w") as f:
+                f.write("# vtk DataFile Version 3.0\n")
+                f.write(f"{base_name}\n")
+                f.write("ASCII\nDATASET POLYDATA\n")
+                f.write(f"\nPOINTS {n_write} float\n")
+                f.write(_fmt_rows(xyz))
+                f.write(f"\nVERTICES {n_write} {2 * n_write}\n")
+                from . import _native
+                verts = _native.format_vertices(n_write)
+                f.write(verts if verts is not None
+                        else "".join(f"1 {i}\n" for i in range(n_write)))
+
+        self._submit(job)
         self._point_data_started = False
         self.time_step += 1
         if self.verbose:
             print(f"Integrating {self.base_name}, {self.time_step} steps "
                   f"done ({n} points)        ", end="\r", flush=True)
 
-    def _n_written(self):
-        return self.n_points if self._mask is None else int(self._mask.sum())
+    @staticmethod
+    def _point_data_header(f, started, frame):
+        if not started:
+            f.write(f"\nPOINT_DATA {frame['n_written']}\n")
 
-    def _start_point_data(self, f):
-        if not self._point_data_started:
-            f.write(f"\nPOINT_DATA {self._n_written()}\n")
-            self._point_data_started = True
+    def _begin_point_data(self):
+        """Caller-side bookkeeping; the actual count is resolved by the
+        worker (jobs run FIFO, so the positions job has filled the frame)."""
+        started = self._point_data_started
+        self._point_data_started = True
+        return started, self._frame, self._current_path
 
     # -- links (if written, second; ref vtk.cuh:137-145) --------------------
     def write_links(self, links):
-        links.copy_to_host()
-        m = links.h_n
-        with open(self._current_path, "a") as f:
-            f.write(f"\nLINES {m} {3 * m}\n")
-            from . import _native
-            lines = _native.format_lines(links.h_a[:m], links.h_b[:m])
-            if lines is not None:
-                f.write(lines)
-            else:
-                ab = np.stack([np.full(m, 2), links.h_a[:m], links.h_b[:m]],
-                              axis=1)
-                np.savetxt(f, ab, fmt="%d", delimiter=" ")
+        if self._pool is None:
+            links.copy_to_host()
+            m = links.h_n
+            a, b = links.h_a, links.h_b
+        else:
+            m = links.get_d_n()
+            a, b = links.d_a, links.d_b
+        path = self._current_path
+
+        def job():
+            ha, hb = np.asarray(a)[:m], np.asarray(b)[:m]
+            with open(path, "a") as f:
+                f.write(f"\nLINES {m} {3 * m}\n")
+                from . import _native
+                lines = _native.format_lines(ha, hb)
+                if lines is not None:
+                    f.write(lines)
+                else:
+                    ab = np.stack([np.full(m, 2), ha, hb], axis=1)
+                    np.savetxt(f, ab, fmt="%d", delimiter=" ")
+
+        self._submit(job)
 
     # -- extra Pt fields (ref vtk.cuh:147-166) -------------------------------
     def write_field(self, points, data_name="w", field=None):
         field = field or data_name
-        vals = np.asarray(getattr(points.h_X, field))[:self.n_points]
-        if self._mask is not None:
-            vals = vals[self._mask]
-        with open(self._current_path, "a") as f:
-            self._start_point_data(f)
-            f.write(f"SCALARS {data_name} float\nLOOKUP_TABLE default\n")
-            f.write(_fmt_rows(vals[:, None]))
+        src = self._dev_field(points, field)
+        n = self.n_points
+        started, frame, path = self._begin_point_data()
+
+        def job():
+            vals = np.asarray(src)[:n]
+            if frame["mask"] is not None:
+                vals = vals[frame["mask"]]
+            with open(path, "a") as f:
+                self._point_data_header(f, started, frame)
+                f.write(f"SCALARS {data_name} float\nLOOKUP_TABLE default\n")
+                f.write(_fmt_rows(vals[:, None]))
+
+        self._submit(job)
 
     # -- polarity as NORMALS (ref vtk.cuh:168-187) ---------------------------
     def write_polarity(self, points, data_name="polarity", axis=DEFAULT_AXIS):
-        h = points.h_X
-        th = np.asarray(getattr(h, axis[0]))[:self.n_points]
-        ph = np.asarray(getattr(h, axis[1]))[:self.n_points]
-        nx = np.sin(th) * np.cos(ph)
-        ny = np.sin(th) * np.sin(ph)
-        nz = np.where((th == 0) & (ph == 0), 0.0, np.cos(th))
-        normals = np.stack([nx, ny, nz], axis=1)
-        if self._mask is not None:
-            normals = normals[self._mask]
-        with open(self._current_path, "a") as f:
-            self._start_point_data(f)
-            f.write(f"NORMALS {data_name} float\n")
-            f.write(_fmt_rows(normals))
+        th_src = self._dev_field(points, axis[0])
+        ph_src = self._dev_field(points, axis[1])
+        n = self.n_points
+        started, frame, path = self._begin_point_data()
+
+        def job():
+            th = np.asarray(th_src)[:n]
+            ph = np.asarray(ph_src)[:n]
+            nx = np.sin(th) * np.cos(ph)
+            ny = np.sin(th) * np.sin(ph)
+            nz = np.where((th == 0) & (ph == 0), 0.0, np.cos(th))
+            normals = np.stack([nx, ny, nz], axis=1)
+            if frame["mask"] is not None:
+                normals = normals[frame["mask"]]
+            with open(path, "a") as f:
+                self._point_data_header(f, started, frame)
+                f.write(f"NORMALS {data_name} float\n")
+                f.write(_fmt_rows(normals))
+
+        self._submit(job)
 
     # -- properties (ref vtk.cuh:189-214) -------------------------------------
     def write_property(self, prop):
-        vals = prop.copy_to_host()[:self.n_points]
-        if self._mask is not None:
-            vals = vals[self._mask]
-        ptype = "float" if np.issubdtype(prop.dtype, np.floating) else "int"
-        with open(self._current_path, "a") as f:
-            self._start_point_data(f)
-            f.write(f"SCALARS {prop.name} {ptype}\nLOOKUP_TABLE default\n")
-            if ptype == "int":
-                from . import _native
-                text = _native.format_ints(np.asarray(vals, np.int32))
-                f.write(text if text is not None
-                        else "".join(f"{int(v)}\n" for v in vals))
-            else:
-                f.write(_fmt_rows(np.asarray(vals, float)[:, None]))
+        if self._pool is None:
+            src = prop.copy_to_host()
+        else:
+            src = prop.d_prop if prop.d_prop is not None \
+                else np.array(prop.h_prop)
+        n = self.n_points
+        dtype = prop.dtype
+        name = prop.name
+        started, frame, path = self._begin_point_data()
+
+        def job():
+            vals = np.asarray(src)[:n].astype(dtype)
+            if frame["mask"] is not None:
+                vals = vals[frame["mask"]]
+            ptype = "float" if np.issubdtype(dtype, np.floating) else "int"
+            with open(path, "a") as f:
+                self._point_data_header(f, started, frame)
+                f.write(f"SCALARS {name} {ptype}\nLOOKUP_TABLE default\n")
+                if ptype == "int":
+                    from . import _native
+                    text = _native.format_ints(np.asarray(vals, np.int32))
+                    f.write(text if text is not None
+                            else "".join(f"{int(v)}\n" for v in vals))
+                else:
+                    f.write(_fmt_rows(np.asarray(vals, float)[:, None]))
+
+        self._submit(job)
 
     # -- wall-clock report (ref vtk.cuh:75-91) --------------------------------
     def close(self):
+        self.drain()
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
         if not self.verbose:
             return
         self.verbose = False  # report once
@@ -174,8 +280,9 @@ class Vtk_output:
 
     def __del__(self):
         # Mirror the reference's destructor report; safe if already closed.
+        # Also drains any queued async writes so no frame is lost at GC.
         try:
-            if self.verbose and self.time_step > 0:
+            if (self.verbose and self.time_step > 0) or self._pending:
                 self.close()
                 self.verbose = False
         except Exception:
