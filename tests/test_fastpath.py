@@ -199,3 +199,70 @@ def test_lattice_pallas_branching_force():
     for k in ("epi_nbs", "mes_nbs"):
         assert np.array_equal(np.asarray(auxa[k])[:n],
                               np.asarray(auxb[k])[:n]), k
+
+
+def test_lattice_gen_forces_match_tile():
+    """Generic forces (links) inside the lattice-resident loop match the
+    tile oracle -- the reference feeds link forces through the same hook
+    on every solver (links.cuh:128-140, solvers.cuh:43-53)."""
+    from yalla_tpu.links import Links, link_forces
+    from yalla_tpu.solvers import LatticeEngine
+
+    n = 96
+    gen = np.random.default_rng(8)
+
+    def relu_force(Xi, r, dist, i, j):
+        near = (i != j) & (dist < 1.0)
+        F = jnp.maximum(0.7 - dist, 0) * 2 - jnp.maximum(dist - 0.8, 0)
+        safe = jnp.where(dist > 0, dist, 1.0)
+        w = jnp.where(near, F / safe, 0.0)
+        return Float3(x=r.x * w, y=r.y * w, z=r.z * w)
+
+    la = gen.integers(0, n, n // 2)
+    lb = gen.integers(0, n, n // 2)
+
+    def make_links():
+        links = Links(n // 2, strength=0.25, seed=5)
+        links.h_a[:n // 2] = la
+        links.h_b[:n // 2] = lb
+        links.copy_to_device()
+        return links
+
+    sol_t = Solution(Float3, n, solver="tile")
+    random_sphere(0.6, sol_t, rng=np.random.default_rng(7))
+    start = np.stack([np.array(sol_t.h_X.x), np.array(sol_t.h_X.y),
+                      np.array(sol_t.h_X.z)])
+
+    links = make_links()
+    for _ in range(4):
+        sol_t.take_step(0.1, relu_force, gen_forces=link_forces(links))
+    ref = np.stack([np.asarray(sol_t.d_X.x), np.asarray(sol_t.d_X.y),
+                    np.asarray(sol_t.d_X.z)])[:, :n]
+
+    def run_lattice(rebuild_every, pallas):
+        sol_l = Solution(
+            Float3, n, cube_size=1.0,
+            engine=LatticeEngine(grid_size=16, capacity=16, z_block=2,
+                                 rebuild_every=rebuild_every, pallas=pallas))
+        sol_l.h_X.x[:], sol_l.h_X.y[:], sol_l.h_X.z[:] = start
+        sol_l.copy_to_device()
+        sol_l.take_steps(4, 0.1, relu_force,
+                         gen_forces=link_forces(make_links()))
+        return np.stack([np.asarray(sol_l.d_X.x), np.asarray(sol_l.d_X.y),
+                         np.asarray(sol_l.d_X.z)])[:, :n]
+
+    # per-pass rebuild is reference-exact: must match the tile oracle
+    for pallas in (True, False):
+        got = run_lattice(1, pallas)
+        assert np.allclose(ref, got, atol=2e-5), (
+            f"lattice(rebuild=1, pallas={pallas}) diverges from tile "
+            f"with links: {np.abs(ref - got).max()}")
+    # resident mode (rebuild_every=4): links translate through the slot
+    # map identically in both kernels -- the pallas and XLA paths must
+    # agree exactly (vs tile only the pair binning staleness differs)
+    a, b = run_lattice(4, True), run_lattice(4, False)
+    assert np.allclose(a, b, atol=2e-5), (
+        f"resident pallas vs XLA with links: {np.abs(a - b).max()}")
+    assert np.allclose(ref, a, atol=0.05), (
+        f"resident lattice links path unphysically far from tile: "
+        f"{np.abs(ref - a).max()}")

@@ -185,10 +185,15 @@ def _link_gen_fn(force):
     return fn
 
 
-def link_forces(links: Links, force=linear_force):
+def link_forces(links: Links, force=linear_force, fields=None):
     """GenericForce applying ``force`` over the link table
-    (ref links.cuh:128-140)."""
-    return GenericForce(fn=_link_gen_fn(force), args=links.state)
+    (ref links.cuh:128-140).  ``fields`` names the Pt fields the force
+    writes (auto-detected as x/y/z for the default ``linear_force``); the
+    lattice-resident fast path translates only those channels."""
+    if fields is None and force is linear_force:
+        fields = ("x", "y", "z")
+    return GenericForce(fn=_link_gen_fn(force), args=links.state,
+                        fields=fields)
 
 
 # --------------------------------------------------------------------------
@@ -236,14 +241,17 @@ def _wall_gen_fn(w_force, with_links, link_force):
     return fn
 
 
-def wall_forces(wall_idx, w_force=xy_wall_relu_force):
+def wall_forces(wall_idx, w_force=xy_wall_relu_force, fields=("x", "y", "z")):
     """Wall node, no links (ref links.cuh:198-210)."""
     return GenericForce(fn=_wall_gen_fn(w_force, False, None),
-                        args=jnp.int32(wall_idx))
+                        args=jnp.int32(wall_idx), fields=fields)
 
 
 def link_wall_forces(links: Links, wall_idx, l_force=linear_force,
-                     w_force=xy_wall_relu_force):
+                     w_force=xy_wall_relu_force, fields=None):
     """Wall node + links (ref links.cuh:213-228)."""
+    if fields is None and l_force is linear_force:
+        fields = ("x", "y", "z")
     return GenericForce(fn=_wall_gen_fn(w_force, True, l_force),
-                        args=(links.state, jnp.int32(wall_idx)))
+                        args=(links.state, jnp.int32(wall_idx)),
+                        fields=fields)

@@ -1,8 +1,8 @@
 """Pallas TPU kernel for the dense cube-lattice pair pass.
 
 Drop-in replacement for ``lattice_xla.lattice_pairwise_resident`` (same
-layout contract and returns).  Design notes, from round-1/round-2
-measurements on a v5e chip:
+layout contract and returns).  Design notes, from round-1/2 measurements
+on a v5e chip:
 
 * The XLA formulation re-reads each z-slab from HBM for every one of the
   9 x (4C - 1) neighbour shifts (~30 GB/pass at 500k cells).  Here the slab
@@ -12,22 +12,32 @@ measurements on a v5e chip:
   elements per pass.  This kernel never slices along lanes: the j-side slab
   lives in a VMEM scratch that is rolled **in place by a static -1** per
   shift iteration, and the force is evaluated full-width with window
-  validity folded into the pair mask.
-* No x/y halos: the roll is circular and wrapped pairs are masked out
-  (lane arithmetic for x, edge-row masks for y).  The z halo rides the
-  slab DMA; HBM z padding carries occupancy 0.
-* The kernel is VPU-op-bound, so per-lane work is trimmed three ways:
+  validity folded into the pair distance.
+* The kernel is VPU-op-bound, so per-lane work is trimmed aggressively:
   - **Channel liveness**: the force is traced once (jaxpr dependence
     analysis) to find which Pt fields are actually read through Xj / r --
     only those are stored and rolled j-side; i-only fields (polarity trig,
     reaction inputs) ride the cheap unrolled i-buffer.  Constant-zero
     outputs (e.g. a dF.ctype that is always 0) get no accumulator.
   - **Diagonal hoisting**: the self-pair (i == j) is evaluated once per
-    slab from the i-buffer and *excluded* from the offset loop (mask
-    ``s != 0`` at the central offset).  If the force supplies an
-    ``offdiag`` attribute (same force without its i == j branch, cf. the
-    reference's explicit early branch, branching.cu:64-78), the hot loop
-    traces that instead, dropping the reaction-ODE math from every lane.
+    slab from the i-buffer and *excluded* from the offset loop.  If the
+    force supplies an ``offdiag`` attribute (same force without its i == j
+    branch, cf. the reference's explicit early branch, branching.cu:64-78),
+    the hot loop traces that instead.
+  - **No occupancy channel**: empty slots carry ``x = 1e9`` (set before
+    stacking), so the cutoff test excludes them for free; the garbage an
+    empty *i*-lane accumulates about itself is discarded when results are
+    gathered back to stable-id order (``lattice_unbuild`` / ``to_stable``
+    read only live slots) and by the integrator's occupancy masking.
+  - **Masks fold into dist**: x-window validity (and the s == 0 diagonal)
+    poison the pair distance to 1e9 instead of masking every output; each
+    accumulator then costs one fma (``out += val * cut`` with
+    ``cut = dist < cube_size`` -- also the engine's cutoff contract,
+    ref solvers.cuh:450).  Forces vanish past the cutoff by that same
+    contract, so no separate per-output masking is needed.
+  - **y halo instead of y rolls**: the j-stack is padded by one sentinel
+    row on each y edge; the three dy windows are sublane slices hoisted
+    out of the dz loop (z-major slices are free).
   - Forces written in single-reciprocal form (see ``models/branching``)
     lower to mul/add-only Mosaic code.
 * The per-point ids passed to ``pw_int``/``pw_friction`` are *slot* ids
@@ -48,6 +58,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["lattice_pairwise_pallas"]
+
+X_SENTINEL = 1e9  # empty-slot / out-of-window position poison
 
 
 def _interpret():
@@ -173,17 +185,20 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
     out_need = [a or b for a, b in zip(live_off, live_diag)]
 
     # ---- channel and accumulator layout -----------------------------------
-    occ = (layout.pid < n_pad).astype(jnp.float32)
+    occ = layout.pid < n_pad
+    # empty slots: position sentinel instead of an occupancy channel
+    leaves_p = ([jnp.where(occ, field_leaves[0], X_SENTINEL)]
+                + field_leaves[1:])
     ovs = [layout.Tov.x, layout.Tov.y, layout.Tov.z]
 
     xi_fields = [k for k in range(nf) if xi_need[k]]
     xj_fields = [k for k in range(nf) if xj_need[k]]
-    xi_channels = [field_leaves[k] for k in xi_fields] + [occ] \
+    xi_channels = [leaves_p[k] for k in xi_fields] \
         + (ovs if fr_diag else [])
-    rj_channels = [field_leaves[k] for k in xj_fields] + [occ] \
+    rj_channels = [leaves_p[k] for k in xj_fields] \
         + (ovs if fr_off else [])
     K_i, K_j = len(xi_channels), len(rj_channels)
-    XI_OCC, RJ_OCC = len(xi_fields), len(xj_fields)
+    XI_OV, RJ_OV = len(xi_fields), len(xj_fields)
 
     # accumulators: live dF leaves, sum_f, sum_v (if any friction), live aux
     acc_of_out = {}
@@ -200,12 +215,21 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
         SUMF, SUMV = M, M + 1
         M += 4
 
-    def stack_z_padded(chs):
-        a = jnp.stack([c.reshape(gs, gs, W) for c in chs])
-        return jnp.pad(a, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    def stack_pad(chs, y_halo):
+        # z halo always (slab DMA window); y halo on the j side replaces
+        # edge-row masks -- the pad rows carry the x sentinel
+        outs = []
+        for idx, c in enumerate(chs):
+            fill = X_SENTINEL if idx == 0 else 0.0
+            pad = ((1, 1), (1, 1), (0, 0)) if y_halo \
+                else ((1, 1), (0, 0), (0, 0))
+            outs.append(jnp.pad(c.reshape(gs, gs, W), pad,
+                                constant_values=fill))
+        return jnp.stack(outs)
 
-    A_i = stack_z_padded(xi_channels)        # [K_i, gs+2, gs, W]
-    A_j = stack_z_padded(rj_channels)        # [K_j, gs+2, gs, W]
+    A_i = stack_pad(xi_channels, False)      # [K_i, gs+2, gs,   W]
+    A_j = stack_pad(rj_channels, True)       # [K_j, gs+2, gs+2, W]
+    Wg = gs + 2
 
     def kernel(scal_ref, Ai_hbm, Aj_hbm, out_ref, xi_ref, rj_ref, sems):
         zi = pl.program_id(0)
@@ -226,7 +250,6 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                      else zero for k in range(nf)]
         Xi = unflatten_pt(Xi_leaves)
         xi_leaf = Xi_leaves.__getitem__
-        occ_i = xi_ref[XI_OCC] > 0.5
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
         yrow = jax.lax.broadcasted_iota(jnp.int32, (1, gs, 1), 1)
@@ -235,13 +258,16 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
         i_ids = (((zi * zb + zrow) * gs + yrow) * W + lane).astype(
             jnp.float32)
 
-        def accumulate(outs, mask, ovj):
+        def accumulate(outs, cut, ovj):
+            # cut is None (self pairs, always in range) or an f32 0/1 mask
+            # folded in as one fma per accumulator
             for o, acc in acc_of_out.items():
-                out_ref[acc] += jnp.where(
-                    mask, jnp.broadcast_to(outs[o], shape), 0.0)
+                v = jnp.broadcast_to(outs[o], shape)
+                out_ref[acc] += v if cut is None else v * cut
             if have_fr:
-                fr = jnp.where(mask, jnp.broadcast_to(outs[n_dF], shape),
-                               0.0)
+                fr = jnp.broadcast_to(outs[n_dF], shape)
+                if cut is not None:
+                    fr = fr * cut
                 out_ref[SUMF] += fr
                 for c in range(3):
                     out_ref[SUMV + c] += fr * ovj[c]
@@ -258,9 +284,9 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
         if any(live_diag):
             r0 = unflatten_pt([zero] * nf)
             outs = call_force(pw_int, r0, zero, i_ids)
-            ov_i = ([xi_ref[XI_OCC + 1 + c] for c in range(3)]
+            ov_i = ([xi_ref[XI_OV + c] for c in range(3)]
                     if fr_diag else (zero, zero, zero))
-            accumulate(outs, occ_i, ov_i)
+            accumulate(outs, None, ov_i)
 
         # --- 9 x (4C - 1) offset loop --------------------------------------
         # j-slab pre-rolled so iteration t sees shift s = t - (2C - 1):
@@ -273,36 +299,38 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
             dcube = (q + 4 * C) // C - (lane + 4 * C) // C
             valid_x = (q >= 0) & (q < W) & (dcube >= -1) & (dcube <= 1)
 
-            for dy in (-1, 0, 1):
-                if dy == -1:
-                    base = valid_x & (yrow > 0)
-                elif dy == 1:
-                    base = valid_x & (yrow < gs - 1)
-                else:
-                    base = valid_x
-
-                def jrow(c, dz):
-                    a = rj_ref[c, pl.ds(dz, zb)]       # [zb, gs, W]
-                    if dy:
-                        a = pltpu.roll(a, (gs - dy) % gs, axis=1)
-                    return a
+            for dy in (0, 1, 2):
+                # one sublane realign per dy, hoisted out of the dz loop;
+                # dz then slices the leading (free) axis
+                jwin = {k: rj_ref[xj_fields.index(k), :, pl.ds(dy, gs)]
+                        for k in range(nf) if xj_need[k]}
+                if fr_off:
+                    jov = [rj_ref[RJ_OV + c, :, pl.ds(dy, gs)]
+                           for c in range(3)]
 
                 for dz in (0, 1, 2):
+                    jsl = lambda a: a[dz:dz + zb]
                     r = unflatten_pt(
-                        [(xi_leaf(k) - jrow(xj_fields.index(k), dz))
-                         if xj_need[k] else zero for k in range(nf)])
-                    occ_j = jrow(RJ_OCC, dz) > 0.5
+                        [(xi_leaf(k) - jsl(jwin[k])) if xj_need[k]
+                         else zero for k in range(nf)])
                     dist = jnp.sqrt(r.x * r.x + r.y * r.y + r.z * r.z)
-                    mask = occ_i & occ_j & base & (dist < csize)
-                    if dy == 0 and dz == 1:
-                        mask = mask & (s != 0)     # self handled above
+                    # fold x-window validity (and the hoisted diagonal)
+                    # into dist; sentinels already poison empty slots and
+                    # y-halo rows
+                    if dy == 1 and dz == 1:
+                        dist = jnp.where(valid_x & (s != 0), dist,
+                                         X_SENTINEL)
+                    else:
+                        dist = jnp.where(valid_x, dist, X_SENTINEL)
+                    cut = (dist < csize).astype(jnp.float32)
 
                     j_ids = i_ids + jnp.float32(
-                        (dz - 1) * gs * W + dy * W) + s.astype(jnp.float32)
+                        (dz - 1) * gs * W + (dy - 1) * W) \
+                        + s.astype(jnp.float32)
                     outs = call_force(pw_off, r, dist, j_ids)
-                    ovj = ([jrow(RJ_OCC + 1 + c, dz) for c in range(3)]
+                    ovj = ([jsl(jov[c]) for c in range(3)]
                            if fr_off else (zero, zero, zero))
-                    accumulate(outs, mask, ovj)
+                    accumulate(outs, cut, ovj)
 
             # advance to the next shift: rolled[l] <- rolled[l + 1]
             rj_ref[...] = pltpu.roll(rj_ref[...], W - 1, axis=3)
@@ -323,7 +351,7 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((K_i, zb, gs, W), jnp.float32),
-                pltpu.VMEM((K_j, zb + 2, gs, W), jnp.float32),
+                pltpu.VMEM((K_j, zb + 2, Wg, W), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),

@@ -152,17 +152,11 @@ def lattice_pairwise_resident(pw_int, pw_friction, layout, n, cube_size, *,
     op on ``[z_block, gs, gs*C]`` tiles -- no gathers, no tiny minor dims.
     """
     gs, C = grid_size, capacity
-    n_slots = layout.pid.shape[0]
     n_pad = layout.slot_of.shape[0]  # empty-slot sentinel value in pid
     occ = layout.pid < n_pad
-    W = gs * C                      # flat x-row width
-    PAD = 2 * C                     # x halo for shifts
-
-    def row_view(a):
-        return a.reshape(gs, gs, W)
 
     def padded(a, fill=0):
-        return jnp.pad(row_view(a), ((1, 1), (1, 1), (PAD, PAD)),
+        return jnp.pad(a.reshape(-1, gs, gs * C), ((1, 1), (1, 1), (0, 0)),
                        constant_values=fill)
 
     P = jax.tree.map(padded, layout.T)
@@ -170,14 +164,43 @@ def lattice_pairwise_resident(pw_int, pw_friction, layout, n, cube_size, *,
                  padded(layout.Tov.z))
     Pocc = padded(occ, False)
     Ppid = padded(layout.pid, n_pad)
+    return pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid,
+                              cube_size, grid_size=gs, capacity=C,
+                              z_block=z_block)
+
+
+def pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid, cube_size, *,
+                       grid_size, capacity, z_block):
+    """Core shifted-slice pass over channels already carrying one halo
+    plane on each z and y edge (``[gs_z + 2, gs_y + 2, gs_x * C]``).
+
+    Split out of :func:`lattice_pairwise_resident` so the multi-chip z-slab
+    decomposition (``parallel/lattice_spmd.py``) can attach *exchanged*
+    halo planes (via ``ppermute``) instead of the single-chip zero padding.
+    Returns flat ``[gs_z * gs_y * gs_x * C]`` sums for the interior.
+    """
+    gs, C = grid_size, capacity
+    gz = Pocc.shape[0] - 2          # interior z planes (gs on one chip)
+    W = gs * C                      # flat x-row width
+    PAD = 2 * C                     # x halo for shifts
+    n_slots = gz * gs * W
+
+    def xpad(a, fill=0):
+        return jnp.pad(a, ((0, 0), (0, 0), (PAD, PAD)),
+                       constant_values=fill)
+
+    P = jax.tree.map(xpad, P)
+    Pov = Float3(xpad(Pov.x), xpad(Pov.y), xpad(Pov.z))
+    Pocc = xpad(Pocc, False)
+    Ppid = xpad(Ppid, 0)
 
     # C-periodic cube-membership pattern per shift r: slot c of a cube may
     # pair with slot at flat offset r iff (c + r) falls in cubes -1..+1.
     lane_c = jnp.arange(W, dtype=jnp.int32) % C
 
     zb = z_block
-    assert gs % zb == 0
-    nz = gs // zb
+    assert gz % zb == 0
+    nz = gz // zb
     # All (dz, dy, x-shift) partner offsets.  Scanned in groups of UNROLL:
     # the scan carry (the per-slab accumulators, a few MB) round-trips
     # through HBM once per iteration, so unrolling several offsets per
@@ -252,11 +275,12 @@ def lattice_pairwise_resident(pw_int, pw_friction, layout, n, cube_size, *,
             {k: flat(v) for k, v in aux.items()})
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 14, 15))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 14, 15, 16))
 def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                        grid_size, capacity, z_block,
                        X, old_v, n, dt, cube_size, fix_point,
-                       precompute=None, pallas=False):
+                       precompute=None, pallas=False, gen=None,
+                       gen_args=None):
     """``n_steps`` Heun steps with lattice-resident state.
 
     Same integration semantics as ``solvers.heun_steps`` (COM/point fixes,
@@ -266,6 +290,13 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
     (solvers.cuh:494).  ``rebuild_every > 1`` keeps the state
     lattice-resident between rebuilds: cheaper, and physically equivalent
     for forces that vanish at the cutoff (all the reference potentials do).
+
+    ``gen`` (a static ``GenericForce`` with ``args=None``) + ``gen_args``
+    run the reference's generic-forces hook (links, walls,
+    solvers.cuh:43-53) *inside* the resident loop: the state is gathered
+    back to stable-id order for the hook (XLA dead-code-eliminates channels
+    the hook never reads), and the resulting dX is scattered into slot
+    order through ``slot_of`` -- only for ``gen.fields`` when given.
     """
     assert n_steps % rebuild_every == 0
     gs, C = grid_size, capacity
@@ -285,6 +316,20 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
             pw_int, pw_friction, lay, n, cube_size,
             grid_size=gs, capacity=C, z_block=z_block)
         F = truncate_aug(F, orig_type)
+        if gen is not None:
+            n_slots = lay.pid.shape[0]
+            ok = lay.slot_of < n_slots
+            pick = jnp.where(ok, lay.slot_of, 0)
+            X_st = jax.tree.map(lambda a: jnp.where(ok, a[pick], 0.0), T)
+            dXg = gen.fn(X_st, n, gen_args)
+            fields = gen.fields if gen.fields is not None \
+                else type(F)._fields
+            upd = {}
+            for f in fields:
+                g = jnp.where(ok, getattr(dXg, f), 0.0)
+                upd[f] = getattr(F, f).at[lay.slot_of].add(
+                    g, mode="drop", unique_indices=True)
+            F = F.replace(**upd)
         inv = jnp.where(sum_f > 0, 1.0 / jnp.where(sum_f > 0, sum_f, 1.0),
                         0.0)
         dX = F.replace(x=F.x + sum_v[0] * inv,

@@ -1,0 +1,219 @@
+"""Multi-chip lattice integration: z-slab domain decomposition.
+
+The dense cube-lattice pass (``ops/lattice_xla.py``) is a 27-point shifted
+-slice stencil over ``[gs_z, gs_y, gs_x * C]`` channels -- its natural
+multi-chip decomposition is one z-slab per device with a one-plane halo
+exchange, exactly the ring pattern ICI is built for (SURVEY.md §2.3; the
+reference is strictly single-GPU, solvers.cuh has no multi-device path).
+
+Design:
+
+* every per-slot channel is sharded over the *flat slot axis* -- slot ids
+  are z-major (``slot = ((cz * gs) + cy) * gs * C + ...``, ref cube id
+  convention solvers.cuh:349-365), so an even 1-D sharding IS the z-slab
+  decomposition, and ``lattice_build``'s sort/scatter runs under GSPMD
+  with the same arrays;
+* the force pass runs under ``shard_map``: each device exchanges one
+  ``[1, gs, W]`` halo plane per channel with each z-neighbour via
+  ``ppermute`` (non-periodic: edge devices receive ppermute's zero fill,
+  which carries ``occ = False``), then runs the identical
+  ``pairwise_on_padded`` core on its local ``[gz + 2, gs + 2, W]`` view;
+* integration is local; the momentum fix reduces with ``psum``
+  (ref solvers.cuh:240-253); the in-loop failure flags (capacity drops,
+  non-finite state) reduce with ``psum``/``pmax`` like everything else.
+
+Memory per chip is O(n_slots / D) for the lattice plus the stable-id
+arrays, so capacity scales with the ring size -- unlike the replicated
+all-gather path in ``parallel/spmd.py`` (kept for the gather engines).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..dtypes import Float3
+from ..ops.common import friction_w_neighbour, mask_tree
+from ..ops.lattice_xla import lattice_build, lattice_unbuild, \
+    pairwise_on_padded
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+__all__ = ["make_z_mesh", "lattice_sharded_heun_steps"]
+
+
+def make_z_mesh(devices=None, axis="z"):
+    import numpy as np
+    devices = devices if devices is not None else jax.devices()
+    from jax.sharding import Mesh
+    return Mesh(np.array(devices).reshape(-1), (axis,))
+
+
+def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
+                               pw_int, pw_friction, fix_mode,
+                               grid_size, capacity, z_block,
+                               X, old_v, n, dt, cube_size, fix_point,
+                               precompute=None, axis="z"):
+    """``n_steps`` Heun steps, lattice z-slabs sharded over ``mesh[axis]``.
+
+    Same semantics as the single-chip ``lattice_heun_steps`` (COM/point
+    fixes, friction mixing, in-loop failure flags); pure -- call it inside
+    your own ``jax.jit``.  ``X``/``old_v`` are stable-id pytrees (any
+    sharding; outputs match inputs' structure).
+    """
+    from ..solvers import augment, truncate_aug
+    assert n_steps % rebuild_every == 0
+    gs, C = grid_size, capacity
+    D = mesh.shape[axis]
+    assert gs % D == 0, "grid_size must divide over the mesh"
+    gz = gs // D
+    assert gz % z_block == 0, "z_block must divide the local slab"
+    W = gs * C
+    n_pad = X.x.shape[0]
+    n_local = gz * gs * W
+    slot_sh = NamedSharding(mesh, P(axis))
+
+    fwd = [(i, i + 1) for i in range(D - 1)]
+    bwd = [(i + 1, i) for i in range(D - 1)]
+
+    def exchange_halo(a3, fill):
+        """[gz, gs, W] -> ([1, gs, W] from below, [1, gs, W] from above);
+        edge devices receive zeros from ppermute -- occ stays False there,
+        so fill only matters for non-occ channels (where it is unused)."""
+        del fill
+        if D == 1:
+            zeroplane = jnp.zeros_like(a3[:1])
+            return zeroplane, zeroplane
+        lo = jax.lax.ppermute(a3[-1:], axis, fwd)
+        hi = jax.lax.ppermute(a3[:1], axis, bwd)
+        return lo, hi
+
+    def with_halo(a_flat, fill=0.0):
+        a3 = a_flat.reshape(gz, gs, W).astype(jnp.float32) \
+            if a_flat.dtype == jnp.bool_ else a_flat.reshape(gz, gs, W)
+        lo, hi = exchange_halo(a3, fill)
+        a3 = jnp.concatenate([lo, a3, hi], axis=0)
+        return jnp.pad(a3, ((0, 0), (1, 1), (0, 0)), constant_values=fill)
+
+    def local_chunk(T_leaves, ov_leaves, pid, n, dt, cube_size, fix_point):
+        """rebuild_every steps on the local slab (runs under shard_map)."""
+        T_tree = jax.tree.structure(T_example)
+        T0 = jax.tree.unflatten(T_tree, T_leaves)
+        Tov0 = Float3(*ov_leaves)
+        occ = pid < n_pad
+        n_occ = jax.lax.psum(jnp.sum(occ), axis)
+
+        def deriv(T, Tov):
+            Taug = augment(T, n, precompute)
+            Pp = jax.tree.map(with_halo, Taug)
+            Pov = Float3(with_halo(Tov.x), with_halo(Tov.y),
+                         with_halo(Tov.z))
+            Pocc = with_halo(occ) > 0.5
+            Ppid = with_halo(pid.astype(jnp.float32),
+                             float(n_pad)).astype(jnp.int32)
+            F, sum_f, sum_v, aux = pairwise_on_padded(
+                pw_int, pw_friction, Pp, Pov, Pocc, Ppid, cube_size,
+                grid_size=gs, capacity=C, z_block=z_block)
+            F = truncate_aug(F, type(T))
+            inv = jnp.where(sum_f > 0,
+                            1.0 / jnp.where(sum_f > 0, sum_f, 1.0), 0.0)
+            dX = F.replace(x=F.x + sum_v[0] * inv,
+                           y=F.y + sum_v[1] * inv,
+                           z=F.z + sum_v[2] * inv)
+            dX = mask_tree(dX, occ)
+
+            def com(a):
+                return jax.lax.psum(jnp.sum(jnp.where(occ, a, 0.0)),
+                                    axis) / jnp.maximum(n_occ, 1)
+
+            def at_point(a):
+                sel = pid == fix_point
+                return jax.lax.psum(jnp.sum(jnp.where(sel, a, 0.0)), axis)
+
+            if fix_mode == "com":
+                fx, fy, fz = com(dX.x), com(dX.y), com(dX.z)
+            elif fix_mode == "point":
+                fx, fy, fz = at_point(dX.x), at_point(dX.y), at_point(dX.z)
+            elif fix_mode == "com_z":
+                fx, fy, fz = at_point(dX.x), at_point(dX.y), com(dX.z)
+            else:
+                raise ValueError(fix_mode)
+            dX = dX.replace(x=jnp.where(occ, dX.x - fx, 0.0),
+                            y=jnp.where(occ, dX.y - fy, 0.0),
+                            z=jnp.where(occ, dX.z - fz, 0.0))
+            return dX, aux
+
+        def step(c, _):
+            T, Tov = c
+            d1, _ = deriv(T, Tov)
+            T1 = jax.tree.map(lambda a, b: a + b * dt, T, d1)
+            d2, aux = deriv(T1, Tov)
+            T_new = jax.tree.map(lambda a, b, c2: a + (b + c2) * (0.5 * dt),
+                                 T, d1, d2)
+            ov = Float3(x=(d1.x + d2.x) * 0.5, y=(d1.y + d2.y) * 0.5,
+                        z=(d1.z + d2.z) * 0.5)
+            return (T_new, ov), aux
+
+        (T, Tov), auxs = jax.lax.scan(step, (T0, Tov0), None,
+                                      length=rebuild_every)
+        aux_last = jax.tree.map(lambda a: a[-1], auxs)
+        bad = jnp.zeros((), bool)
+        for leaf in jax.tree.leaves(T) + jax.tree.leaves(Tov):
+            bad = bad | jnp.any(~jnp.isfinite(jnp.where(occ, leaf, 0.0)))
+        bad = jax.lax.pmax(bad.astype(jnp.int32), axis)
+        return (jax.tree.leaves(T), list(Tov), aux_last, bad)
+
+    # specs: every per-slot channel over the z axis, scalars replicated
+    T_example = X  # structure only
+    spec_slot = P(axis)
+    spec_rep = P()
+
+    def chunk(carry, _):
+        X, old_v, dropped, bad = carry
+        lay = lattice_build(X, old_v, n, cube_size, gs, C)
+        constrain = lambda t: jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, slot_sh), t)
+        lay = lay._replace(T=constrain(lay.T), Tov=constrain(lay.Tov),
+                           pid=jax.lax.with_sharding_constraint(lay.pid,
+                                                                slot_sh))
+        dropped = jnp.maximum(dropped,
+                              jnp.maximum(lay.n_dropped, lay.n_oob))
+
+        T_leaves = jax.tree.leaves(lay.T)
+        ov_leaves = list(lay.Tov)
+
+        inner = shard_map(
+            local_chunk, mesh=mesh,
+            in_specs=([spec_slot] * len(T_leaves), [spec_slot] * 3,
+                      spec_slot, spec_rep, spec_rep, spec_rep, spec_rep),
+            out_specs=([spec_slot] * len(T_leaves), [spec_slot] * 3,
+                       spec_slot, spec_rep),
+            check_vma=False)
+        T_new, ov_new, aux_last, bad_c = inner(
+            T_leaves, ov_leaves, lay.pid, n, dt, cube_size, fix_point)
+        lay = lay._replace(
+            T=jax.tree.unflatten(jax.tree.structure(lay.T), T_new),
+            Tov=Float3(*ov_new))
+        X, old_v = lattice_unbuild(lay, X, old_v)
+
+        # aux accumulators back to stable-id order
+        n_slots = lay.pid.shape[0]
+        ok = lay.slot_of < n_slots
+        pick = jnp.where(ok, lay.slot_of, 0)
+        aux_st = jax.tree.map(lambda a: jnp.where(ok, a[pick], 0.0),
+                              aux_last)
+        bad = bad | (bad_c > 0)
+        for leaf in jax.tree.leaves(X):
+            bad = bad | jnp.any(~jnp.isfinite(leaf))
+        return (X, old_v, dropped, bad), aux_st
+
+    carry0 = (X, old_v, jnp.int32(0), jnp.bool_(False))
+    (X, old_v, dropped, bad), auxs = jax.lax.scan(
+        chunk, carry0, None, length=n_steps // rebuild_every)
+    aux = jax.tree.map(lambda a: a[-1], auxs)
+    aux["__err_lattice_dropped"] = dropped
+    aux["__err_non_finite"] = bad
+    return X, old_v, aux

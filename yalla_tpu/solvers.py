@@ -173,9 +173,15 @@ class GenericForce(NamedTuple):
     a pure function so it stays inside jit.  ``args`` is an arbitrary
     pytree of dynamic state (e.g. link tables) so updating it never
     recompiles.
+
+    ``fields`` optionally names the Pt fields the force actually writes
+    (e.g. ``("x", "y", "z")`` for link springs).  The lattice-resident
+    integrator uses it to translate only those channels between stable-id
+    and slot order; ``None`` means all fields.
     """
     fn: Callable[..., Any]
     args: Any = None
+    fields: tuple | None = None
 
 
 @lru_cache(maxsize=None)
@@ -467,20 +473,24 @@ class Solution:
                    precompute=None, check_errors=True):
         """``n_steps`` device-fused steps (lax.scan hot loop).
 
-        With a LatticeEngine and no generic forces, this routes to the
-        lattice-resident integrator (binning kept on-lattice between
-        rebuilds -- the high-throughput path)."""
+        With a LatticeEngine this routes to the lattice-resident
+        integrator (binning kept on-lattice between rebuilds -- the
+        high-throughput path); generic forces (links, walls) run inside
+        the resident loop through the slot map."""
         self._ensure_device()
-        if isinstance(self.engine, LatticeEngine) and gen_forces is None:
+        if isinstance(self.engine, LatticeEngine):
             from .ops.lattice_xla import lattice_heun_steps
             e = self.engine
+            gen = _as_generic(gen_forces)
+            gen_args = gen.args if gen is not None else None
+            gen_static = gen._replace(args=None) if gen is not None else None
             k = e.rebuild_every if int(n_steps) % e.rebuild_every == 0 else 1
             self.d_X, self.d_old_v, self.aux = lattice_heun_steps(
                 int(n_steps), k, pw_int, pw_friction, self._fix_mode,
                 e.grid_size, e.capacity, e.z_block,
                 self.d_X, self.d_old_v, self.d_n, jnp.float32(dt),
                 jnp.float32(self.cube_size), jnp.int32(self._fix_point),
-                precompute, e.pallas)
+                precompute, e.pallas, gen_static, gen_args)
             if check_errors:
                 self._check_errors()
             return self.aux
