@@ -116,3 +116,81 @@ def test_branching_engines_agree():
             f"engines disagree in {f}: {np.abs(a - b).max()}"
     assert np.allclose(np.asarray(auxg["epi_nbs"])[:nn],
                        np.asarray(auxl["epi_nbs"])[:nn]), "aux disagrees"
+
+
+def test_epithelium_polarity_statistics():
+    """ref examples/epithelium.cu: on a relaxed ball with noisy radial
+    polarity, bending stiffness (a) relaxes every polarity to the local
+    layer normal (radially outward) and (b) sharpens the ball into a
+    shell -- the mesenchyme-to-epithelium transition statistic."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples"))
+    import epithelium as E
+
+    from yalla_tpu import Po_cell, friction_on_background
+    from yalla_tpu.inits import relaxed_sphere
+
+    rng = np.random.default_rng(2)
+    cells = Solution(Po_cell, E.n_cells, solver="grid")
+    relaxed_sphere(0.8, cells, rng=rng)
+    h = cells.h_X
+    d = np.sqrt(h.x ** 2 + h.y ** 2 + h.z ** 2)
+    d = np.where(d > 0, d, 1.0)
+    n = cells.h_n
+    h.theta[:n] = (np.arccos(np.clip(h.z / d, -1, 1))
+                   + rng.random(cells.n_pad) * 0.5)[:n]
+    h.phi[:n] = (np.arctan2(h.y, h.x) + rng.random(cells.n_pad) * 0.5)[:n]
+    cells.copy_to_device()
+
+    def stats(c):
+        hh = c.copy_to_host()
+        m = c.h_n
+        px = np.sin(hh.theta[:m]) * np.cos(hh.phi[:m])
+        py = np.sin(hh.theta[:m]) * np.sin(hh.phi[:m])
+        pz = np.cos(hh.theta[:m])
+        r = np.stack([hh.x[:m], hh.y[:m], hh.z[:m]])
+        r = r - r.mean(1, keepdims=True)
+        rn = np.linalg.norm(r, axis=0)
+        rn = np.where(rn > 0, rn, 1)
+        radial_align = np.mean((px * r[0] + py * r[1] + pz * r[2]) / rn)
+        return radial_align, rn.max() - rn.mean()
+
+    align0, spread0 = stats(cells)
+    cells.take_steps(E.n_time_steps, E.dt, E.layer_force,
+                     pw_friction=friction_on_background)
+    align1, spread1 = stats(cells)
+    assert align1 > 0.98, f"polarity not radial: {align1:.3f}"
+    assert align1 > align0 + 0.02, "noise did not relax"
+    assert spread1 < spread0, "ball did not sharpen into a shell"
+
+
+def test_intercalation_elongation_statistics():
+    """ref examples/intercalation.cu: protrusion links constrained nearly
+    perpendicular to x (|r_x / dist| < 0.2) drive convergent extension --
+    the tissue elongates along x (the named BASELINE statistic)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples"))
+    import intercalation as I
+
+    from yalla_tpu.links import Links, link_forces
+
+    cells = Solution(Float3, I.n_cells, solver="grid", row_cap=64)
+    random_sphere(I.r_min, cells, rng=np.random.default_rng(4))
+    prot = Links(I.n_cells, seed=11)
+
+    def aspect(c):
+        hh = c.copy_to_host()
+        m = c.h_n
+        return hh.x[:m].std() / ((hh.y[:m].std() + hh.z[:m].std()) / 2)
+
+    a0 = aspect(cells)
+    assert a0 < 1.3, "initial ball not isotropic"
+    for _ in range(60):
+        prot.update(I.update_protrusions, cells)
+        cells.take_step(I.dt, I.clipped_cubic, gen_forces=link_forces(prot))
+    a1 = aspect(cells)
+    assert a1 > 3.0, f"no convergent extension: aspect {a0:.2f} -> {a1:.2f}"
