@@ -128,7 +128,9 @@ def child_fn(X, props, direction, i):
 def main(n_steps=n_time_steps):
     inp = Vtk_input(os.path.join(HERE, "sphere_ic.vtk"))
     n_0 = inp.n_points
-    cells = Solution(Cell, n_max, solver="grid", grid_size=50)
+    # auto: all-pairs below the crossover, Pallas lattice above -- the
+    # protrusion link forces run inside the lattice-resident loop
+    cells = Solution(Cell, n_max, solver="auto")
     cells.h_n = n_0
     inp.read_positions(cells)
     inp.read_polarity(cells)

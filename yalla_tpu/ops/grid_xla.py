@@ -190,19 +190,28 @@ def grid_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
 
 def gabriel_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
                      grid_size=50, row_cap=32, gabriel_coefficient=0.8,
-                     i_block=256, i_offset=0, i_size=None):
+                     i_block=256, i_offset=0, i_size=None,
+                     max_candidates=100):
     """Grid neighbours pruned to (scaled) Gabriel-graph pairs.
 
     Rebuild of ``compute_cube_gabriel`` (ref solvers.cuh:509-602): collect
     candidates, sort by distance, and keep pair (i, j) only if no *closer*
     candidate k falls inside the sphere of radius
     ``0.5 * dist_ij * gabriel_coefficient`` around the i-j midpoint.
+
+    ``max_candidates`` bounds the per-point candidate list like the
+    reference's fixed 100-entry array (solvers.cuh:525-527): the midpoint
+    test runs on the ``max_candidates`` *nearest* candidates only, which
+    keeps the [B, NC, NC] pair block O(NC^2) regardless of ``row_cap``
+    (the reference silently overruns its array past 100; here overflow
+    raises through the in-loop ``__err`` flags instead).
     """
     n_pad = X.x.shape[0]
     if i_size is None:
         i_size = n_pad
     tables = build_grid(X, n, cube_size, grid_size)
     K = 9 * row_cap
+    NC = min(max_candidates, K)
 
     B = _block_size(i_size, i_block)
 
@@ -223,10 +232,12 @@ def gabriel_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
         dx, dy, dz = xi - xj, yi - yj, zi - zj
         dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
         cand = valid & (dist < cube_size)
+        n_cand = jnp.sum(cand, axis=1)  # per point, before the NC cap
 
-        # Sort candidates by distance (invalid -> +inf), ref solvers.cuh:549-566
+        # Sort candidates by distance (invalid -> +inf) and keep only the
+        # NC nearest (ref solvers.cuh:525-527, 549-566)
         sort_key = jnp.where(cand, dist, jnp.inf)
-        sort_ord = jnp.argsort(sort_key, axis=1)
+        sort_ord = jnp.argsort(sort_key, axis=1)[:, :NC]
         take = lambda a: jnp.take_along_axis(a, sort_ord, axis=1)
         jidx_s, cand_s, dist_s = take(jidx), take(cand), take(dist)
         xj_s, yj_s, zj_s = take(xj), take(yj), take(zj)
@@ -238,9 +249,9 @@ def gabriel_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
         d2 = ((mx[:, :, None] - xj_s[:, None, :]) ** 2
               + (my[:, :, None] - yj_s[:, None, :]) ** 2
               + (mz[:, :, None] - zj_s[:, None, :]) ** 2)
-        radius2 = (0.5 * dist_s * gabriel_coefficient) ** 2  # [B, K]
-        m_ids = jnp.arange(K)[:, None]
-        k_ids = jnp.arange(K)[None, :]
+        radius2 = (0.5 * dist_s * gabriel_coefficient) ** 2  # [B, NC]
+        m_ids = jnp.arange(NC)[:, None]
+        k_ids = jnp.arange(NC)[None, :]
         closer = (k_ids < m_ids)[None] & cand_s[:, None, :]
         blocked = jnp.any(closer & (d2 < radius2[:, :, None]), axis=2)
         is_self = jidx_s == i_arr
@@ -254,6 +265,10 @@ def gabriel_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
         over = jnp.any((re - rs + 1 > row_cap) & (i_arr < n),
                        axis=1).astype(jnp.float32)
         out[3]["__err_grid_overflow"] = over
+        # candidate-list capacity (ref's fixed 100-entry array): pairs past
+        # the NC nearest are silently dropped -- surface it like a D_ASSERT
+        out[3]["__err_gabriel_candidates"] = (
+            (n_cand > NC) & (i_arr[:, 0] < n)).astype(jnp.float32)
         return out
 
     return _scan_blocks(eval_block, i_size, B)

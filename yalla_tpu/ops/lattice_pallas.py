@@ -35,9 +35,9 @@ on a v5e chip:
     ``cut = dist < cube_size`` -- also the engine's cutoff contract,
     ref solvers.cuh:450).  Forces vanish past the cutoff by that same
     contract, so no separate per-output masking is needed.
-  - **y halo instead of y rolls**: the j-stack is padded by one sentinel
-    row on each y edge; the three dy windows are sublane slices hoisted
-    out of the dz loop (z-major slices are free).
+  - **Hoisted y alignment**: the three dy windows are sublane rolls per
+    channel hoisted out of the dz loop (dy == 0 is the identity); the dz
+    windows are leading-axis slices, which are free.
   - Forces written in single-reciprocal form (see ``models/branching``)
     lower to mul/add-only Mosaic code.
 * The per-point ids passed to ``pw_int``/``pw_friction`` are *slot* ids
@@ -227,9 +227,9 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                                 constant_values=fill))
         return jnp.stack(outs)
 
-    A_i = stack_pad(xi_channels, False)      # [K_i, gs+2, gs,   W]
-    A_j = stack_pad(rj_channels, True)       # [K_j, gs+2, gs+2, W]
-    Wg = gs + 2
+    A_i = stack_pad(xi_channels, False)      # [K_i, gs+2, gs, W]
+    A_j = stack_pad(rj_channels, False)      # [K_j, gs+2, gs, W]
+    Wg = gs
 
     def kernel(scal_ref, Ai_hbm, Aj_hbm, out_ref, xi_ref, rj_ref, sems):
         zi = pl.program_id(0)
@@ -300,13 +300,26 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
             valid_x = (q >= 0) & (q < W) & (dcube >= -1) & (dcube <= 1)
 
             for dy in (0, 1, 2):
-                # one sublane realign per dy, hoisted out of the dz loop;
-                # dz then slices the leading (free) axis
-                jwin = {k: rj_ref[xj_fields.index(k), :, pl.ds(dy, gs)]
+                # one y sublane-roll per (dy, channel), hoisted out of the
+                # dz loop (dy == 1 is the identity); dz then slices the
+                # leading (free) axis.  Wrapped edge rows are masked via
+                # the dist fold below.
+                def yroll(c):
+                    a = rj_ref[c]                     # [zb+2, gs, W]
+                    return a if dy == 1 else \
+                        pltpu.roll(a, (gs - (dy - 1)) % gs, axis=1)
+
+                jwin = {k: yroll(xj_fields.index(k))
                         for k in range(nf) if xj_need[k]}
                 if fr_off:
-                    jov = [rj_ref[RJ_OV + c, :, pl.ds(dy, gs)]
-                           for c in range(3)]
+                    jov = [yroll(RJ_OV + c) for c in range(3)]
+
+                if dy == 0:
+                    geom_y = valid_x & (yrow > 0)
+                elif dy == 2:
+                    geom_y = valid_x & (yrow < gs - 1)
+                else:
+                    geom_y = valid_x
 
                 for dz in (0, 1, 2):
                     jsl = lambda a: a[dz:dz + zb]
@@ -314,14 +327,14 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                         [(xi_leaf(k) - jsl(jwin[k])) if xj_need[k]
                          else zero for k in range(nf)])
                     dist = jnp.sqrt(r.x * r.x + r.y * r.y + r.z * r.z)
-                    # fold x-window validity (and the hoisted diagonal)
-                    # into dist; sentinels already poison empty slots and
-                    # y-halo rows
+                    # fold x-window/y-edge validity (and the hoisted
+                    # diagonal) into dist; the position sentinel already
+                    # poisons empty slots and z-halo rows
                     if dy == 1 and dz == 1:
-                        dist = jnp.where(valid_x & (s != 0), dist,
+                        dist = jnp.where(geom_y & (s != 0), dist,
                                          X_SENTINEL)
                     else:
-                        dist = jnp.where(valid_x, dist, X_SENTINEL)
+                        dist = jnp.where(geom_y, dist, X_SENTINEL)
                     cut = (dist < csize).astype(jnp.float32)
 
                     j_ids = i_ids + jnp.float32(

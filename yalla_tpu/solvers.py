@@ -146,11 +146,14 @@ class LatticeEngine:
 @dataclass(frozen=True)
 class GabrielEngine:
     """Grid + Gabriel-graph neighbourhood pruning
-    (ref Gabriel_computer, solvers.cuh:604-644)."""
+    (ref Gabriel_computer, solvers.cuh:604-644).  ``max_candidates``
+    mirrors the reference's fixed 100-candidate arrays
+    (solvers.cuh:525-527); overflow raises via the in-loop flags."""
     grid_size: int = 50
     row_cap: int = 32
     gabriel_coefficient: float = 0.8
     i_block: int = 256
+    max_candidates: int = 100
 
     def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
                  i_offset=0, i_size=None):
@@ -158,7 +161,8 @@ class GabrielEngine:
             pw_int, pw_friction, X, old_v, n, cube_size,
             grid_size=self.grid_size, row_cap=self.row_cap,
             gabriel_coefficient=self.gabriel_coefficient,
-            i_block=self.i_block, i_offset=i_offset, i_size=i_size)
+            i_block=self.i_block, i_offset=i_offset, i_size=i_size,
+            max_candidates=self.max_candidates)
 
 
 # --------------------------------------------------------------------------
