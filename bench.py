@@ -3,8 +3,15 @@
 Headline metric from BASELINE.md: Heun steps of the flagship
 branching-class physics (type-dependent ReLU mechanics + Turing
 reaction/diffusion + epithelial bending + neighbour counters) at 500,000
-cells on one TPU chip, using the dense cube-lattice engine
-(ops/lattice_xla.py) with the Cartesian polarity fast path.
+cells on one TPU chip, using the dense cube-lattice engine with the
+Pallas pair kernel and the Cartesian polarity fast path.
+
+The tissue is *relaxed to mechanical equilibrium* before timing (every
+reference model benches in this regime -- branching starts from
+``relaxed_sphere``, branching.cu:178), then the lattice capacity ``C`` is
+chosen from the measured max cube occupancy (+1 headroom; the kernel cost
+scales ~C^2 through slots x shifts).  The in-loop failure flags certify
+that no cube overflowed during the timed run.
 
 ``REBUILD_EVERY = 4``: the spatial binning is refreshed every 4 steps with
 state lattice-resident in between.  The reference rebuilds per pass, but
@@ -15,10 +22,11 @@ reference-exact rebuild cadence.
 The CUDA reference publishes no numbers (BASELINE.md); ``vs_baseline`` is
 reported against an assumed 1e8 cell-steps/s for the reference's
 single-GPU grid solver at this size -- the BASELINE.json target of
->= 10x CUDA corresponds to vs_baseline >= 10.
+>= 10x CUDA corresponds to vs_baseline >= 10.  The JSON line also carries
+the 5k-cell metric (BASELINE.json asks for both sizes) under "extra".
 
 Usage: python bench.py [n_cells] [n_steps]
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 import json
 import sys
@@ -30,21 +38,15 @@ import numpy as np
 
 CUDA_BASELINE_CELL_STEPS_PER_SEC = 1e8  # assumed; see module docstring
 REBUILD_EVERY = 4
+RELAX_STEPS = 48
 
 
-def build(n_cells, seed=0):
+def _ic(n_cells, n_pad, seed=0):
     from yalla_tpu.models import branching as B
-    from yalla_tpu.dtypes import Float3
-    from yalla_tpu.ops.common import friction_w_neighbour
-    from yalla_tpu.ops.lattice_xla import lattice_heun_steps, lattice_build
-    from yalla_tpu.polarity import polarity_precompute
 
     rng = np.random.default_rng(seed)
-    n_pad = -(-n_cells // 4096) * 4096 if n_cells > 4096 else \
-        max(64, -(-n_cells // 64) * 64)
-
-    # Jittered lattice at relaxed-tissue spacing 0.75 (bounded occupancy),
-    # epithelial shell on the boundary
+    # Jittered lattice at relaxed-tissue spacing 0.75, epithelial shell on
+    # the boundary (the flagship's grown-tissue composition)
     side = int(np.ceil(n_cells ** (1 / 3)))
     g = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"),
                  -1).reshape(-1, 3)[:n_pad]
@@ -53,8 +55,7 @@ def build(n_cells, seed=0):
         [pos, np.zeros((max(0, n_pad - len(pos)), 3))])[:n_pad]
     surface = np.abs(pos).max(1) > (side / 2 * 0.75 - 1.0)
     rr = np.maximum(np.linalg.norm(pos, axis=1), 1e-6)
-
-    X = B.Cell(
+    return B.Cell(
         x=jnp.asarray(pos[:, 0], jnp.float32),
         y=jnp.asarray(pos[:, 1], jnp.float32),
         z=jnp.asarray(pos[:, 2], jnp.float32),
@@ -66,26 +67,78 @@ def build(n_cells, seed=0):
         v=jnp.asarray(rng.random(n_pad) * 0.1, jnp.float32),
         ctype=jnp.asarray(surface.astype(np.float32)),
     )
-    old_v = Float3.zeros(n_pad)
 
+
+def _grid_for(pos_max, r_max, C=8):
+    """Smallest grid covering |coord| <= pos_max + margin with
+    gs * C % 128 == 0 (the kernel's lane constraint)."""
+    g0 = 128 // np.gcd(C, 128)
+    need = 2.0 * (pos_max + 0.75) / r_max
+    return int(max(int(-(-need // g0)) * int(g0), 16))
+
+
+def _pick_gs_C(pos_max, r_max, max_occ):
+    """Choose (gs, C) minimizing kernel lane-work gs^3 * C * (4C - 1)
+    subject to capacity C >= max_occ + 1 and the lane constraint."""
+    best = None
+    for C in range(max(4, max_occ + 1), max(8, max_occ + 1) + 5):
+        gs = _grid_for(pos_max, r_max, C)
+        cost = gs ** 3 * C * (4 * C - 1)
+        if best is None or cost < best[0]:
+            best = (cost, gs, C)
+    return best[1], best[2]
+
+
+def _max_occ(X, n_cells, gs, cube):
+    q = [np.asarray(X.x)[:n_cells], np.asarray(X.y)[:n_cells],
+         np.asarray(X.z)[:n_cells]]
+    cid = 0
+    for a in q:
+        cid = cid * gs + np.clip(np.floor(a / cube).astype(np.int64)
+                                 + gs // 2, 0, gs - 1)
+    return int(np.bincount(cid).max()), max(float(np.abs(a).max())
+                                            for a in q)
+
+
+def build(n_cells, seed=0):
+    from yalla_tpu.models import branching as B
+    from yalla_tpu.dtypes import Float3
+    from yalla_tpu.ops.common import friction_w_neighbour
+    from yalla_tpu.ops.lattice_xla import lattice_heun_steps
+    from yalla_tpu.polarity import polarity_precompute
+
+    n_pad = -(-n_cells // 4096) * 4096 if n_cells > 4096 else \
+        max(64, -(-n_cells // 64) * 64)
+    X = _ic(n_cells, n_pad, seed)
+    old_v = Float3.zeros(n_pad)
     p = B.Params()
     force = B.make_force(p)
-
-    # Pallas lattice kernel sized to the populated box: the round-2 fast
-    # path beats all-pairs from well below the reference's ~7k crossover
-    # (solvers.cuh:346-347); measured r2: 1.3 ms/step @ 5k (gs=16),
-    # ~60 ms/step @ 500k (gs=64), both C=8, zb=2, rebuild_every=4.
-    extent = side * 0.75 / 2 + 0.25
-    gs = 16
-    while gs * p.r_max < 2.0 * (extent + 1.0):
-        gs *= 2
-    C, zb = 8, 2
+    n = jnp.int32(n_cells)
     pallas = jax.default_backend() == "tpu"
 
-    lay = lattice_build(X, old_v, jnp.int32(n_cells), jnp.float32(p.r_max),
-                        gs, C)
-    dropped = int(lay.n_dropped)
-    assert dropped == 0, f"lattice capacity overflow: {dropped} dropped"
+    # relax to mechanical equilibrium with the plain relu band (exactly the
+    # reference's relaxed-IC recipe, inits.cuh:95-155), then pick the
+    # cheapest (grid, capacity) for the measured occupancy
+    from yalla_tpu.inits import relu_force
+    _, extent0 = _max_occ(X, n_cells, 64, p.r_max)
+    # generous transient headroom: the jittered IC compresses locally and
+    # expands toward its ~0.8 rest spacing while settling (C = 16 is
+    # always lane-aligned; margin covers the expansion)
+    gs0 = int(-(-(2.0 * (extent0 * 1.08 + 2.0)) // 8)) * 8
+    X, old_v, aux = lattice_heun_steps(
+        RELAX_STEPS, REBUILD_EVERY, relu_force, friction_w_neighbour, "com",
+        gs0, 16, 2, X, old_v, n, jnp.float32(p.dt), jnp.float32(p.r_max),
+        jnp.int32(0), None, False)  # XLA path: relax shapes are one-off,
+    # not worth a Mosaic compile
+    assert int(aux["__err_lattice_dropped"]) == 0, "relaxation overflow"
+    assert int(aux["__err_out_of_grid"]) == 0, "relaxation left the grid"
+    old_v = jax.tree.map(jnp.zeros_like, old_v)  # fresh start post-relax
+
+    max_occ, extent = _max_occ(X, n_cells, gs0, p.r_max)
+    gs, C = _pick_gs_C(extent, p.r_max, max_occ)
+    zb = 2
+    print(f"# bench config: n={n_cells} extent={extent:.1f} "
+          f"max_occ={max_occ} -> gs={gs} C={C}", file=sys.stderr)
 
     def run(n_steps):
         k = REBUILD_EVERY
@@ -93,18 +146,16 @@ def build(n_cells, seed=0):
             k -= 1
         return lattice_heun_steps(
             n_steps, k, force, friction_w_neighbour, "com", gs, C, zb,
-            X, old_v, jnp.int32(n_cells), jnp.float32(p.dt),
+            X, old_v, n, jnp.float32(p.dt),
             jnp.float32(p.r_max), jnp.int32(0), polarity_precompute,
             pallas)
 
+    run.config = {"gs": int(gs), "C": int(C), "max_occ": int(max_occ)}
     return run
 
 
-def main():
-    n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
-    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-
-    run = build(n_cells)
+def measure(n_cells, n_steps, seed=0):
+    run = build(n_cells, seed)
     out = run(n_steps)  # compile + warm up (same scan length as timed run)
     _ = float(np.asarray(out[0].x)[0])  # force completion (readback)
 
@@ -112,14 +163,32 @@ def main():
     out = run(n_steps)
     _ = float(np.asarray(out[0].x)[0])
     dt = time.perf_counter() - t0
+    aux = out[2]
+    assert int(aux["__err_lattice_dropped"]) == 0, \
+        "cube capacity overflow during the timed run"
+    assert int(aux["__err_out_of_grid"]) == 0, "cells left the grid"
+    assert not bool(aux["__err_non_finite"]), "non-finite state"
+    return n_cells * n_steps / dt, run.config
 
-    cell_steps_per_sec = n_cells * n_steps / dt
+
+def main():
+    n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+    rate, config = measure(n_cells, n_steps)
+    extra = {"config": config}
+    if n_cells >= 100_000:
+        # the second BASELINE.json size: 5k cells (all on one chip)
+        extra["cell_steps_per_sec_5k"], extra["config_5k"] = \
+            measure(5_000, max(n_steps, 40))
+        extra["cell_steps_per_sec_5k"] = round(
+            extra["cell_steps_per_sec_5k"], 1)
     print(json.dumps({
         "metric": f"cell_steps_per_sec_branching_{n_cells // 1000}k",
-        "value": round(cell_steps_per_sec, 1),
+        "value": round(rate, 1),
         "unit": "cell-steps/s",
-        "vs_baseline": round(
-            cell_steps_per_sec / CUDA_BASELINE_CELL_STEPS_PER_SEC, 3),
+        "vs_baseline": round(rate / CUDA_BASELINE_CELL_STEPS_PER_SEC, 3),
+        "extra": extra,
     }))
 
 

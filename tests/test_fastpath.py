@@ -266,3 +266,42 @@ def test_lattice_gen_forces_match_tile():
     assert np.allclose(ref, a, atol=0.05), (
         f"resident lattice links path unphysically far from tile: "
         f"{np.abs(ref - a).max()}")
+
+
+def test_migration_fast_equivalence():
+    from yalla_tpu.dtypes import make_pt
+    from yalla_tpu.polarity import migration_force, migration_force_fast
+    n = 128
+    gen = np.random.default_rng(33)
+    th = np.arccos(2 * gen.random(n) - 1).astype(np.float32)
+    ph = (gen.random(n) * 2 * np.pi - np.pi).astype(np.float32)
+    th[:4] = 0.0  # unset-polarity branch
+    ph[:4] = 0.0
+    xyz = gen.normal(size=(n, 3)).astype(np.float32)
+    Xi = Po_cell(x=jnp.asarray(xyz[:, 0]), y=jnp.asarray(xyz[:, 1]),
+                 z=jnp.asarray(xyz[:, 2]), theta=jnp.asarray(th),
+                 phi=jnp.asarray(ph))
+    r_np = gen.normal(size=(n, 3)).astype(np.float32)
+    dist = jnp.asarray(np.linalg.norm(r_np, axis=1))
+    r = Po_cell(x=jnp.asarray(r_np[:, 0]), y=jnp.asarray(r_np[:, 1]),
+                z=jnp.asarray(r_np[:, 2]),
+                theta=jnp.asarray(gen.normal(size=n).astype(np.float32) * .3),
+                phi=jnp.asarray(gen.normal(size=n).astype(np.float32) * .3))
+    ref = migration_force(Xi, r, dist)
+
+    aug_i = polarity_precompute(Xi, n)
+    Xj = Po_cell(x=Xi.x - r.x, y=Xi.y - r.y, z=Xi.z - r.z,
+                 theta=Xi.theta - r.theta, phi=Xi.phi - r.phi)
+    aug_j = polarity_precompute(Xj, n)
+    AugT = make_pt("PoAugM", "theta", "phi", *aug_i.keys())
+    Xi_a = AugT(*Xi, *aug_i.values())
+    r_a = AugT(*r, *(aug_i[k] - aug_j[k] for k in aug_i))
+    fast = migration_force_fast(Xi_a, r_a, dist)
+
+    for f in ("x", "y", "z"):
+        a = np.asarray(getattr(ref, f))
+        b = np.asarray(getattr(fast, f))
+        # the +-0.15 gates can flip for pairs sitting exactly on the
+        # threshold under reordered f32 arithmetic; none in this draw
+        assert np.allclose(a, b, atol=5e-5, rtol=1e-4), \
+            f"migration fast path differs in {f}: {np.abs(a-b).max()}"

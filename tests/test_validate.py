@@ -53,7 +53,7 @@ def test_inloop_lattice_capacity_raises():
     pts.h_X.y[:] = 0.1
     pts.h_X.z[:] = 0.1
     pts.copy_to_device()
-    with pytest.raises(SimulationError, match="lattice_dropped"):
+    with pytest.raises(SimulationError, match="out_of_grid"):
         pts.take_steps(2, 0.1, _relu)
 
 
@@ -151,5 +151,5 @@ def test_inloop_lattice_out_of_grid():
     random_sphere(0.8, pts)
     pts.h_X.x[5] = 1e4   # far outside a 16-cube grid
     pts.copy_to_device()
-    with pytest.raises(SimulationError, match="lattice_dropped"):
+    with pytest.raises(SimulationError, match="out_of_grid"):
         pts.take_steps(2, 0.1, _relu)

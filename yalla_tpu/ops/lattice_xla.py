@@ -373,30 +373,31 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
 
     def chunk_exact(carry, _):
         """rebuild_every == 1: fresh binning per pass (reference-exact)."""
-        X, old_v, dropped, bad = carry
+        X, old_v, dropped, oob, bad = carry
 
         def dstable(Xc):
             lay = lattice_build(Xc, old_v, n, cube_size, gs, C)
             dXs, aux_s = deriv(lay, lay.T, n)
             return (to_stable(lay, dXs), to_stable(lay, aux_s),
-                    jnp.maximum(lay.n_dropped, lay.n_oob))
+                    lay.n_dropped, lay.n_oob)
 
-        d1, _, dr1 = dstable(X)
+        d1, _, dr1, ob1 = dstable(X)
         X1 = jax.tree.map(lambda a, b: a + b * dt, X, d1)
-        d2, aux, dr2 = dstable(X1)
+        d2, aux, dr2, ob2 = dstable(X1)
         X_new = jax.tree.map(lambda a, b, c: a + (b + c) * (0.5 * dt),
                              X, d1, d2)
         ov = Float3(x=(d1.x + d2.x) * 0.5, y=(d1.y + d2.y) * 0.5,
                     z=(d1.z + d2.z) * 0.5)
         dropped = jnp.maximum(dropped, jnp.maximum(dr1, dr2))
+        oob = jnp.maximum(oob, jnp.maximum(ob1, ob2))
         bad = bad | nonfinite(X_new)
-        return (X_new, ov, dropped, bad), aux
+        return (X_new, ov, dropped, oob, bad), aux
 
     def chunk(carry, _):
-        X, old_v, dropped, bad = carry
+        X, old_v, dropped, oob, bad = carry
         lay = lattice_build(X, old_v, n, cube_size, gs, C)
-        dropped = jnp.maximum(dropped,
-                              jnp.maximum(lay.n_dropped, lay.n_oob))
+        dropped = jnp.maximum(dropped, lay.n_dropped)
+        oob = jnp.maximum(oob, lay.n_oob)
 
         def step(c, _):
             T, Tov = c
@@ -417,15 +418,17 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         # aux accumulators back to stable-id order
         aux_last = to_stable(lay, jax.tree.map(lambda a: a[-1], auxs))
         bad = bad | nonfinite(X)
-        return (X, old_v, dropped, bad), aux_last
+        return (X, old_v, dropped, oob, bad), aux_last
 
     body = chunk_exact if rebuild_every == 1 else chunk
-    carry0 = (X, old_v, jnp.int32(0), jnp.bool_(False))
-    (X, old_v, dropped, bad), auxs = jax.lax.scan(
+    carry0 = (X, old_v, jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+    (X, old_v, dropped, oob, bad), auxs = jax.lax.scan(
         body, carry0, None, length=n_steps // rebuild_every)
     aux = jax.tree.map(lambda a: a[-1], auxs)
     # in-loop failure flags (the reference's D_ASSERT layer): cube-capacity
-    # drops at any rebuild and non-finite state at any chunk boundary
+    # drops / out-of-grid clipping at any rebuild and non-finite state at
+    # any chunk boundary (ref solvers.cuh:82,90,153-154,361-364)
     aux["__err_lattice_dropped"] = dropped
+    aux["__err_out_of_grid"] = oob
     aux["__err_non_finite"] = bad
     return X, old_v, aux

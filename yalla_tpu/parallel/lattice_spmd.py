@@ -172,15 +172,15 @@ def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
     spec_rep = P()
 
     def chunk(carry, _):
-        X, old_v, dropped, bad = carry
+        X, old_v, dropped, oob, bad = carry
         lay = lattice_build(X, old_v, n, cube_size, gs, C)
         constrain = lambda t: jax.tree.map(
             lambda a: jax.lax.with_sharding_constraint(a, slot_sh), t)
         lay = lay._replace(T=constrain(lay.T), Tov=constrain(lay.Tov),
                            pid=jax.lax.with_sharding_constraint(lay.pid,
                                                                 slot_sh))
-        dropped = jnp.maximum(dropped,
-                              jnp.maximum(lay.n_dropped, lay.n_oob))
+        dropped = jnp.maximum(dropped, lay.n_dropped)
+        oob = jnp.maximum(oob, lay.n_oob)
 
         T_leaves = jax.tree.leaves(lay.T)
         ov_leaves = list(lay.Tov)
@@ -208,12 +208,13 @@ def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
         bad = bad | (bad_c > 0)
         for leaf in jax.tree.leaves(X):
             bad = bad | jnp.any(~jnp.isfinite(leaf))
-        return (X, old_v, dropped, bad), aux_st
+        return (X, old_v, dropped, oob, bad), aux_st
 
-    carry0 = (X, old_v, jnp.int32(0), jnp.bool_(False))
-    (X, old_v, dropped, bad), auxs = jax.lax.scan(
+    carry0 = (X, old_v, jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+    (X, old_v, dropped, oob, bad), auxs = jax.lax.scan(
         chunk, carry0, None, length=n_steps // rebuild_every)
     aux = jax.tree.map(lambda a: a[-1], auxs)
     aux["__err_lattice_dropped"] = dropped
+    aux["__err_out_of_grid"] = oob
     aux["__err_non_finite"] = bad
     return X, old_v, aux

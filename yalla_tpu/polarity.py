@@ -28,6 +28,9 @@ __all__ = [
     "unidirectional_polarization_force", "bidirectional_polarization_force",
     "bending_force", "apical_constriction_force",
     "orthonormal", "migration_force",
+    "polarity_precompute", "polarity_precompute3",
+    "bending_force_fast", "apical_constriction_force_fast",
+    "migration_force_fast",
 ]
 
 DEFAULT_AXIS = ("theta", "phi")
@@ -297,6 +300,44 @@ def apical_constriction_force_fast(Xi, r, dist, pref_angle,
     dF = pt_zeros_like(Xi)
     return dF.replace(x=fx, y=fy, z=fz,
                       **{axis[0]: -prodi * d_theta, axis[1]: -prodi * d_phi})
+
+
+def migration_force_fast(Xi, r, dist, axis=DEFAULT_AXIS, p="p", inv=None):
+    """``migration_force`` on precomputed polarity vectors (see
+    ``polarity_precompute``): identical physics, no per-pair trig --
+    p_i rides the {p}x/{p}y/{p}z channels and p_j arrives as their r-diffs;
+    the +-0.15 dot-product gates (ref polarity.cuh:138, 154) become plain
+    arithmetic on the unit vectors.  Division-free given ``inv`` = 1/dist
+    (``orthonormal`` keeps its one guarded rsqrt)."""
+    th, ph = _angles(Xi, axis)
+    rth, rph = _angles(r, axis)
+    if inv is None:
+        pos = dist > 0
+        inv = jnp.where(pos, 1.0 / jnp.where(pos, dist, 1.0), 0.0)
+    pxi, pyi, pzi = (getattr(Xi, p + f) for f in ("x", "y", "z"))
+    pxj = pxi - getattr(r, p + "x")
+    pyj = pyi - getattr(r, p + "y")
+    pzj = pzi - getattr(r, p + "z")
+
+    # Pulling around j (only for cells with a set polarity)
+    rdot_i = (pxi * r.x + pyi * r.y + pzi * r.z) * inv
+    pull = ((ph != 0) | (th != 0)) & (rdot_i <= -0.15)
+    pi_T = orthonormal(r, Float3(pxi, pyi, pzi))
+    fx = jnp.where(pull, 0.6 * pxi + 0.8 * pi_T.x, 0.0)
+    fy = jnp.where(pull, 0.6 * pyi + 0.8 * pi_T.y, 0.0)
+    fz = jnp.where(pull, 0.6 * pzi + 0.8 * pi_T.z, 0.0)
+
+    # Getting pushed aside by j; Xj angles = Xi - r
+    rdot_j = (pxj * r.x + pyj * r.y + pzj * r.z) * inv
+    push = (((ph - rph > 1e-10) | (th - rth > 1e-10))
+            & (rdot_j >= 0.15))
+    pj_T = orthonormal(Float3(-r.x, -r.y, -r.z), Float3(pxj, pyj, pzj))
+    fx = fx - jnp.where(push, 0.6 * pxj + 0.8 * pj_T.x, 0.0)
+    fy = fy - jnp.where(push, 0.6 * pyj + 0.8 * pj_T.y, 0.0)
+    fz = fz - jnp.where(push, 0.6 * pzj + 0.8 * pj_T.z, 0.0)
+
+    dF = pt_zeros_like(Xi)
+    return dF.replace(x=fx, y=fy, z=fz)
 
 
 def orthonormal(r, p):
