@@ -69,26 +69,6 @@ def _ic(n_cells, n_pad, seed=0):
     )
 
 
-def _grid_for(pos_max, r_max, C=8):
-    """Smallest grid covering |coord| <= pos_max + margin with
-    gs * C % 128 == 0 (the kernel's lane constraint)."""
-    g0 = 128 // np.gcd(C, 128)
-    need = 2.0 * (pos_max + 0.75) / r_max
-    return int(max(int(-(-need // g0)) * int(g0), 16))
-
-
-def _pick_gs_C(pos_max, r_max, max_occ):
-    """Choose (gs, C) minimizing kernel lane-work gs^3 * C * (4C - 1)
-    subject to capacity C >= max_occ + 1 and the lane constraint."""
-    best = None
-    for C in range(max(4, max_occ + 1), max(8, max_occ + 1) + 5):
-        gs = _grid_for(pos_max, r_max, C)
-        cost = gs ** 3 * C * (4 * C - 1)
-        if best is None or cost < best[0]:
-            best = (cost, gs, C)
-    return best[1], best[2]
-
-
 def _max_occ(X, n_cells, gs, cube):
     q = [np.asarray(X.x)[:n_cells], np.asarray(X.y)[:n_cells],
          np.asarray(X.z)[:n_cells]]
@@ -104,7 +84,8 @@ def build(n_cells, seed=0):
     from yalla_tpu.models import branching as B
     from yalla_tpu.dtypes import Float3
     from yalla_tpu.ops.common import friction_w_neighbour
-    from yalla_tpu.ops.lattice_xla import lattice_heun_steps
+    from yalla_tpu.ops.lattice_xla import (lattice_heun_steps,
+                                           pick_lattice_dims)
     from yalla_tpu.polarity import polarity_precompute
 
     n_pad = -(-n_cells // 4096) * 4096 if n_cells > 4096 else \
@@ -135,7 +116,7 @@ def build(n_cells, seed=0):
     old_v = jax.tree.map(jnp.zeros_like, old_v)  # fresh start post-relax
 
     max_occ, extent = _max_occ(X, n_cells, gs0, p.r_max)
-    gs, C = _pick_gs_C(extent, p.r_max, max_occ)
+    gs, C = pick_lattice_dims(extent, p.r_max, max_occ)
     zb = 2
     print(f"# bench config: n={n_cells} extent={extent:.1f} "
           f"max_occ={max_occ} -> gs={gs} C={C}", file=sys.stderr)

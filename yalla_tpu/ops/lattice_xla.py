@@ -30,7 +30,31 @@ from .common import evaluate_pairs, mask_tree
 
 __all__ = ["LatticeLayout", "lattice_build", "lattice_unbuild",
            "lattice_pairwise_resident", "lattice_heun_steps",
-           "lattice_overflow_count"]
+           "lattice_overflow_count", "lattice_grid_for", "pick_lattice_dims"]
+
+
+def lattice_grid_for(pos_max, cube_size, capacity=8):
+    """Smallest grid covering ``|coord| <= pos_max`` (plus margin) whose
+    row width ``gs * capacity`` is a multiple of 128 lanes (the Pallas
+    kernel's constraint; any gs works for the XLA path)."""
+    import numpy as np
+    g0 = int(128 // np.gcd(capacity, 128))
+    need = 2.0 * (pos_max + 0.75) / cube_size
+    return int(max(-(-int(np.ceil(need)) // g0) * g0, 16))
+
+
+def pick_lattice_dims(pos_max, cube_size, max_occ):
+    """(grid_size, capacity) minimizing kernel lane-work
+    ``gs^3 * C * (4C - 1)`` subject to ``C >= max_occ + 1`` headroom and
+    the 128-lane row constraint.  The in-loop overflow flags catch any
+    occupancy growth past C during a run."""
+    best = None
+    for C in range(max(4, max_occ + 1), max(8, max_occ + 1) + 5):
+        gs = lattice_grid_for(pos_max, cube_size, C)
+        cost = gs ** 3 * C * (4 * C - 1)
+        if best is None or cost < best[0]:
+            best = (cost, gs, C)
+    return best[1], best[2]
 
 _OFFSETS = [(dz, dy, dx)
             for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]

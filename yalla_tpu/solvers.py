@@ -408,29 +408,26 @@ class Solution:
         """Pick an engine from capacity and the current state extent:
         all-pairs below the crossover (cf. ref solvers.cuh:346-347, "maybe
         7k points"; the Pallas lattice moves it lower on TPU), dense
-        Pallas lattice above, sized to the populated bounding box plus
-        growth headroom."""
+        Pallas lattice above, (grid, capacity) jointly sized to the
+        populated bounding box + measured occupancy (cost model in
+        ``ops.lattice_xla.pick_lattice_dims``; growth/drift overflow
+        raises via the in-loop flags)."""
+        from .ops.lattice_xla import pick_lattice_dims
         if self.n_max <= 2048:
             return TileEngine()
         n = int(self.d_n)
         h = [np.asarray(a[:max(n, 1)]) for a in
              (self.d_X.x, self.d_X.y, self.d_X.z)]
         extent = max(float(np.max(np.abs(a))) for a in h) if n else 1.0
-        margin = max(2.0 * self.cube_size, 0.3 * extent)
-        gs = 16
-        while gs * self.cube_size < 2.0 * (extent + margin):
-            gs *= 2
-        # capacity from the measured max cube occupancy (+2 headroom;
-        # overflow during the run raises via the in-loop flags), rounded
-        # up so gs * capacity stays a multiple of 128 lanes
         cid = 0
         for a in h:
-            cid = cid * gs + np.clip(
-                np.floor(a / self.cube_size).astype(np.int64) + gs // 2,
-                0, gs - 1)
-        max_occ = int(np.bincount(cid).max()) if n else 1
-        step = max(1, 128 // gs)
-        cap = -(-(max_occ + 2) // step) * step
+            cid = cid * (2 ** 21) + np.floor(
+                a / self.cube_size).astype(np.int64)
+        max_occ = int(np.unique(cid, return_counts=True)[1].max()) \
+            if n else 1
+        margin = max(2.0 * self.cube_size, 0.3 * extent)
+        gs, cap = pick_lattice_dims(extent + margin, self.cube_size,
+                                    max_occ + 1)
         pallas = jax.default_backend() == "tpu"
         return LatticeEngine(grid_size=gs, capacity=cap, z_block=2,
                              pallas=pallas)
