@@ -22,8 +22,12 @@ _tried = False
 
 
 def _build():
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO]
-    subprocess.run(cmd, check=True, capture_output=True)
+    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO]
+    try:  # OpenMP parallelizes the mesh-exclusion kernel over points
+        subprocess.run(base[:1] + ["-fopenmp"] + base[1:], check=True,
+                       capture_output=True)
+    except subprocess.CalledProcessError:
+        subprocess.run(base, check=True, capture_output=True)
 
 
 def get_lib():
@@ -63,6 +67,11 @@ def get_lib():
             lib.yt_parse_doubles.restype = c_long
             lib.yt_parse_doubles.argtypes = [
                 cp, c_long, ctypes.POINTER(ctypes.c_double), c_long]
+            dp = ctypes.POINTER(ctypes.c_double)
+            lib.yt_test_exclusion.restype = c_long
+            lib.yt_test_exclusion.argtypes = [
+                dp, c_long, dp, c_long, dp,
+                ctypes.POINTER(ctypes.c_uint8)]
             _lib = lib
         except Exception:
             _lib = None
@@ -145,3 +154,22 @@ def parse_doubles(text, max_count):
         raw, len(raw), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         max_count)
     return out[:k]
+
+
+def test_exclusion(points, facet_vertices, ray_dir):
+    """Ray-parity point-in-closed-mesh test (True = outside) on the native
+    kernel, or None if unavailable.  ``points`` [n, 3], ``facet_vertices``
+    [f, 3, 3], ``ray_dir`` [3] (the reference's fixed direction,
+    mesh.cuh:390)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "yt_test_exclusion"):
+        return None
+    P = np.ascontiguousarray(points, np.float64)
+    V = np.ascontiguousarray(facet_vertices, np.float64)
+    d = np.ascontiguousarray(ray_dir, np.float64)
+    out = np.empty(len(P), np.uint8)
+    dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    n = lib.yt_test_exclusion(
+        dptr(P), len(P), dptr(V), len(V), dptr(d),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out.astype(bool) if n == len(P) else None

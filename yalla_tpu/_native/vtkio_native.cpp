@@ -137,3 +137,60 @@ long yt_parse_doubles(const char* text, long len, double* out, long cap)
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Mesh point-in-closed-mesh test (geometry service, not I/O).
+//
+// Native equivalent of the reference's Mesh::test_exclusion ray-triangle
+// parity walk (/root/reference/include/mesh.cuh:379-419): for each point,
+// count intersections of the fixed ray direction with the facet set; an
+// even count means outside.  The vectorized numpy form materializes a
+// [points, facets] block (O(P*F) memory); this is O(1) memory and
+// parallel over points.
+long yt_test_exclusion(const double* pts, long n_pts,
+                       const double* verts,  // [n_f, 3, 3]
+                       long n_f, const double* ray, unsigned char* out)
+{
+    const double dx = ray[0], dy = ray[1], dz = ray[2];
+#pragma omp parallel for schedule(static)
+    for (long i = 0; i < n_pts; ++i) {
+        const double px = pts[i * 3], py = pts[i * 3 + 1],
+                     pz = pts[i * 3 + 2];
+        long hits = 0;
+        for (long f = 0; f < n_f; ++f) {
+            const double* V = verts + f * 9;
+            const double ux = V[3] - V[0], uy = V[4] - V[1],
+                         uz = V[5] - V[2];
+            const double vx = V[6] - V[0], vy = V[7] - V[1],
+                         vz = V[8] - V[2];
+            // facet normal u x v
+            const double nx = uy * vz - uz * vy;
+            const double ny = uz * vx - ux * vz;
+            const double nz = ux * vy - uy * vx;
+            const double den = nx * dx + ny * dy + nz * dz;
+            if (den == 0.0) continue;
+            const double r = (nx * (V[0] - px) + ny * (V[1] - py)
+                              + nz * (V[2] - pz)) / den;
+            if (r < 0.0) continue;
+            const double wx = px + dx * r - V[0];
+            const double wy = py + dy * r - V[1];
+            const double wz = pz + dz * r - V[2];
+            const double uu = ux * ux + uy * uy + uz * uz;
+            const double vv = vx * vx + vy * vy + vz * vz;
+            const double uv = ux * vx + uy * vy + uz * vz;
+            const double wu = wx * ux + wy * uy + wz * uz;
+            const double wv = wx * vx + wy * vy + wz * vz;
+            const double denom = uv * uv - uu * vv;
+            if (denom == 0.0) continue;
+            const double s = (uv * wv - vv * wu) / denom;
+            const double t = (uv * wu - uu * wv) / denom;
+            if (s >= 0.0 && s <= 1.0 && t >= 0.0 && s + t <= 1.0) ++hits;
+        }
+        out[i] = (hits % 2 == 0) ? 1 : 0;  // even = outside
+    }
+    return n_pts;
+}
+
+}  // extern "C" (reopened)

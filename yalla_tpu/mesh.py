@@ -186,9 +186,22 @@ class Mesh:
                                              .reshape(1, 3))[0])
 
     def test_exclusion_many(self, points):
-        """Vectorized parity test: [n, 3] points -> bool[n] (True = outside)."""
+        """Vectorized parity test: [n, 3] points -> bool[n] (True = outside).
+
+        Uses the native C++ kernel when available (O(1) memory, OpenMP
+        over points); the numpy form below materializes a
+        [points, facets] block, so large batches chunk through it."""
         P0 = np.asarray(points, np.float64)
         V = self.facet_vertices()
+        from . import _native
+        out = _native.test_exclusion(P0, V, self._RAY_DIR)
+        if out is not None:
+            return out
+        block = max(1, 50_000_000 // max(len(V), 1))
+        if len(P0) > block:
+            return np.concatenate([
+                self.test_exclusion_many(P0[i:i + block])
+                for i in range(0, len(P0), block)])
         n = self.facet_normals()
         d = self._RAY_DIR
 
