@@ -106,14 +106,24 @@ def build(n_cells, seed=0):
     # expands toward its ~0.8 rest spacing while settling (C = 16 is
     # always lane-aligned; margin covers the expansion)
     gs0 = int(-(-(2.0 * (extent0 * 1.08 + 2.0)) // 8)) * 8
-    X, old_v, aux = lattice_heun_steps(
-        RELAX_STEPS, REBUILD_EVERY, relu_force, friction_w_neighbour, "com",
-        gs0, 16, 2, X, old_v, n, jnp.float32(p.dt), jnp.float32(p.r_max),
-        jnp.int32(0), None, False)  # XLA path: relax shapes are one-off,
-    # not worth a Mosaic compile
-    assert int(aux["__err_lattice_dropped"]) == 0, "relaxation overflow"
-    assert int(aux["__err_out_of_grid"]) == 0, "relaxation left the grid"
-    old_v = jax.tree.map(jnp.zeros_like, old_v)  # fresh start post-relax
+    if gs0 <= 66:
+        gs0 = 64  # prefer the well-aligned 64-grid when it fits
+    # two phases, generous capacity, XLA path (one-off shapes, not worth
+    # a Mosaic compile): geometric relaxation with the relu band, then
+    # settling under the *full* force -- the full force's tighter rest
+    # bands re-compress the tissue, and capacity must be sized for the
+    # regime actually timed
+    def _phase(pw, pre, X, old_v):
+        X, old_v, aux = lattice_heun_steps(
+            RELAX_STEPS, REBUILD_EVERY, pw, friction_w_neighbour, "com",
+            gs0, 16, 2, X, old_v, n, jnp.float32(p.dt),
+            jnp.float32(p.r_max), jnp.int32(0), pre, False)
+        assert int(aux["__err_lattice_dropped"]) == 0, "settling overflow"
+        assert int(aux["__err_out_of_grid"]) == 0, "settling left the grid"
+        return X, old_v
+
+    X, old_v = _phase(relu_force, None, X, old_v)
+    X, old_v = _phase(force, polarity_precompute, X, old_v)
 
     max_occ, extent = _max_occ(X, n_cells, gs0, p.r_max)
     gs, C = pick_lattice_dims(extent, p.r_max, max_occ)

@@ -58,7 +58,20 @@ def main():
             clone.d_prop = state.lineage.cell_clone
             output.write_property(ctype)
             output.write_property(clone)
-            state = frame(state, jnp.float32(t / max(n_frames, 1)))
+            prev = state
+            state, errs = frame(state, jnp.float32(t / max(n_frames, 1)))
+            if any(float(v) for k, v in errs.items()
+                   if k != "__err_cells_lost"):
+                # the growing tissue outran the engine (out-of-grid or
+                # cube capacity): resize from the live extent, recompile
+                # the frame, and redo this frame from the saved state
+                engine = B.engine_for_state(prev, n_max, p)
+                print(f"\nframe {t}: resizing engine -> {engine}")
+                frame = B.make_frame(p, engine, substeps=substeps)
+                state, errs = frame(prev, jnp.float32(t / max(n_frames, 1)))
+                assert not any(
+                    float(v) for k, v in errs.items()
+                    if k != "__err_cells_lost"), f"still failing: {errs}"
 
     # Lineage tree output (ref branching.cu:283-339)
     lin = state.lineage

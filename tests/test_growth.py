@@ -88,11 +88,36 @@ def test_branching_model_short():
     assert 0 < ctype.sum() < 100
 
     frame = B.make_frame(p, engine, substeps=5)
-    state = frame(state, jnp.float32(0.1))
-    state = frame(state, jnp.float32(0.2))
+    state, errs = frame(state, jnp.float32(0.1))
+    state, errs = frame(state, jnp.float32(0.2))
+    assert not any(float(v) for v in errs.values()), errs
     n_final = int(state.n)
     assert n_final > n0, "no proliferation happened"
     assert n_final <= cells.n_pad
     x = np.asarray(state.X.x)[:n_final]
     assert np.all(np.isfinite(x)), "NaN/inf positions"
     assert int(state.lineage.n_nodes) == n_final - n0
+
+
+def test_frame_error_flags_and_engine_resize():
+    """A frame whose tissue outruns the lattice grid reports
+    __err_out_of_grid; engine_for_state re-derives a grid that fits and
+    the redone frame is clean (the flagship's growth-resize pattern)."""
+    from yalla_tpu.models import branching as B
+    from yalla_tpu.solvers import LatticeEngine
+
+    p = B.Params()
+    state, cells, _ = B.init_state(60, 200, p, seed=3)
+    # displace the tissue so it pokes outside a deliberately tiny grid
+    state = state._replace(X=state.X.replace(x=state.X.x + 12.0))
+    small = LatticeEngine(grid_size=16, capacity=8, z_block=2)
+    frame = B.make_frame(p, small, substeps=2)
+    _, errs = frame(state, jnp.float32(0.1))
+    assert float(errs["__err_out_of_grid"]) > 0
+
+    engine = B.engine_for_state(state, 200, p)
+    assert engine.grid_size > 16
+    frame2 = B.make_frame(p, engine, substeps=2)
+    state2, errs2 = frame2(state, jnp.float32(0.1))
+    assert not any(float(v) for v in errs2.values()), errs2
+    assert int(state2.n) >= 60

@@ -53,7 +53,7 @@ def test_inloop_lattice_capacity_raises():
     pts.h_X.y[:] = 0.1
     pts.h_X.z[:] = 0.1
     pts.copy_to_device()
-    with pytest.raises(SimulationError, match="out_of_grid"):
+    with pytest.raises(SimulationError, match="lattice_dropped"):
         pts.take_steps(2, 0.1, _relu)
 
 

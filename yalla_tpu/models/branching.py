@@ -164,6 +164,34 @@ def make_child_fn(p: Params):
     return child
 
 
+def default_engine(n_now, n_max, p: Params = Params(), extent=None):
+    """Engine for the current population: the gather-grid translation at
+    small n, the Pallas lattice above (sized for the populated extent plus
+    growth headroom -- resize via ``engine_for_state`` when the in-loop
+    out-of-grid flag fires)."""
+    from ..solvers import LatticeEngine
+    from ..ops.lattice_xla import pick_lattice_dims
+    if n_max <= 20_000:
+        return GridEngine(grid_size=100, row_cap=32)
+    if extent is None:
+        # packed-ball radius at the current count (~0.75 spacing)
+        import numpy as np
+        extent = 0.8 * (3 * max(n_now, 1) / (4 * np.pi)) ** (1 / 3) + 2.0
+    gs, C = pick_lattice_dims(extent * 1.3, p.r_max, 7)
+    pallas = jax.default_backend() == "tpu"
+    return LatticeEngine(grid_size=gs, capacity=C, z_block=2, pallas=pallas)
+
+
+def engine_for_state(state, n_max, p: Params = Params()):
+    """Re-derive the lattice engine from the live state's extent (use when
+    a frame reports ``__err_out_of_grid`` / capacity flags)."""
+    import numpy as np
+    n = int(state.n)
+    extent = max(float(jnp.max(jnp.abs(a[:max(n, 1)])))
+                 for a in (state.X.x, state.X.y, state.X.z))
+    return default_engine(n, n_max, p, extent=extent + 2.0)
+
+
 def init_state(n_0, n_max, p: Params = Params(), engine: GridEngine = None,
                seed=0, lineage_cap=None):
     """Initial condition: relaxed mesenchymal ball, outer shell converted to
@@ -175,7 +203,7 @@ def init_state(n_0, n_max, p: Params = Params(), engine: GridEngine = None,
     from ..solvers import Solution
 
     if engine is None:
-        engine = GridEngine(grid_size=100, row_cap=32)
+        engine = default_engine(n_0, n_max, p)
     rng = np.random.default_rng(seed)
 
     cells = Solution(Cell, n_max, engine=engine, cube_size=p.r_max)
@@ -219,7 +247,11 @@ def init_state(n_0, n_max, p: Params = Params(), engine: GridEngine = None,
 def make_frame(p: Params, engine: GridEngine, substeps=11):
     """One output frame: ``substeps`` x (proliferate; integrate), fused.
 
-    Mirrors the reference's calculation thread (branching.cu:263-270)."""
+    Mirrors the reference's calculation thread (branching.cu:263-270).
+    Returns ``(state, errs)`` where ``errs`` holds the in-loop D_ASSERT
+    flags (engine capacity / out-of-grid / NaN / cells lost to n_max),
+    reduced over the substeps -- check them per frame and resize the
+    engine when the growing tissue outruns it."""
     force = make_force(p)
     want = make_want_fn(p)
     child = make_child_fn(p)
@@ -236,14 +268,18 @@ def make_frame(p: Params, engine: GridEngine, substeps=11):
                 engine, force, friction_w_neighbour, None, "com",
                 X, old_v, n, jnp.float32(p.dt), jnp.float32(p.r_max),
                 jnp.int32(0), None, polarity_precompute)
-            return (X, old_v, n, lin, aux["epi_nbs"], aux["mes_nbs"]), None
+            errs = {k: v for k, v in aux.items() if k.startswith("__err_")}
+            errs["__err_cells_lost"] = info.n_lost.astype(jnp.float32)
+            return ((X, old_v, n, lin, aux["epi_nbs"], aux["mes_nbs"]),
+                    errs)
 
         keys = jax.random.split(state.key, substeps + 1)
         carry = (state.X, state.old_v, state.n, state.lineage,
                  state.epi_nbs, state.mes_nbs)
-        carry, _ = jax.lax.scan(body, carry, keys[1:])
+        carry, errs = jax.lax.scan(body, carry, keys[1:])
         X, old_v, n, lin, epi_nbs, mes_nbs = carry
-        return State(X=X, old_v=old_v, n=n, lineage=lin,
-                     epi_nbs=epi_nbs, mes_nbs=mes_nbs, key=keys[0])
+        return (State(X=X, old_v=old_v, n=n, lineage=lin,
+                      epi_nbs=epi_nbs, mes_nbs=mes_nbs, key=keys[0]),
+                jax.tree.map(lambda a: a.max(0), errs))
 
     return frame

@@ -139,8 +139,13 @@ class LatticeEngine:
         ok = lay.slot_of < n_slots
         pick = jnp.where(ok, lay.slot_of, 0)
         back = lambda a: jnp.where(ok, a[pick], 0.0)
+        aux = {k: back(v) for k, v in aux.items()}
+        # per-pass D_ASSERT flags (dropped cells silently lose all their
+        # pairs; out-of-grid cells are mis-binned, ref solvers.cuh:361-364)
+        aux["__err_lattice_dropped"] = lay.n_dropped.astype(jnp.float32)
+        aux["__err_out_of_grid"] = lay.n_oob.astype(jnp.float32)
         return (jax.tree.map(back, F), back(sum_f),
-                tuple(map(back, sum_v)), {k: back(v) for k, v in aux.items()})
+                tuple(map(back, sum_v)), aux)
 
 
 @dataclass(frozen=True)
@@ -338,7 +343,12 @@ class Solution:
             elif solver == "tile":
                 engine = TileEngine()
             elif solver == "grid":
-                engine = GridEngine(grid_size=grid_size, row_cap=row_cap)
+                # the reference's workhorse name; above the scale where the
+                # gather-bound direct translation is pathological on TPU,
+                # resolve to the lattice engine (identical cutoff
+                # semantics, cross-engine tests pin the physics)
+                engine = GridEngine(grid_size=grid_size, row_cap=row_cap) \
+                    if self.n_max <= 20_000 else None
             elif solver == "window":
                 engine = WindowEngine(grid_size=grid_size)
             elif solver == "lattice":
