@@ -305,3 +305,47 @@ def test_migration_fast_equivalence():
         # threshold under reordered f32 arithmetic; none in this draw
         assert np.allclose(a, b, atol=5e-5, rtol=1e-4), \
             f"migration fast path differs in {f}: {np.abs(a-b).max()}"
+
+
+def test_bending_fast_second_axis():
+    """The fast path composes with a second polarity axis (PCP, ref
+    epithelia_double_polarity.cu:53): precompute with prefix='q' over
+    (theta2, phi2) must match the reference form on that axis."""
+    from yalla_tpu.dtypes import make_pt
+    Pcp = make_pt("PcpCell", "theta", "phi", "theta2", "phi2")
+    n = 128
+    gen = np.random.default_rng(44)
+    axis = ("theta2", "phi2")
+    X = Pcp(x=jnp.asarray(gen.normal(size=n).astype(np.float32)),
+            y=jnp.asarray(gen.normal(size=n).astype(np.float32)),
+            z=jnp.asarray(gen.normal(size=n).astype(np.float32)),
+            theta=jnp.zeros(n), phi=jnp.zeros(n),
+            theta2=jnp.asarray(np.arccos(2 * gen.random(n) - 1)
+                               .astype(np.float32)),
+            phi2=jnp.asarray((gen.random(n) * 2 * np.pi - np.pi)
+                             .astype(np.float32)))
+    r_np = gen.normal(size=(n, 3)).astype(np.float32)
+    dist = jnp.asarray(np.linalg.norm(r_np, axis=1))
+    r = Pcp(x=jnp.asarray(r_np[:, 0]), y=jnp.asarray(r_np[:, 1]),
+            z=jnp.asarray(r_np[:, 2]),
+            theta=jnp.zeros(n), phi=jnp.zeros(n),
+            theta2=jnp.asarray(gen.normal(size=n).astype(np.float32) * .3),
+            phi2=jnp.asarray(gen.normal(size=n).astype(np.float32) * .3))
+    ref = bending_force(X, r, dist, axis=axis)
+
+    from yalla_tpu.dtypes import make_pt as mp
+    aug_i = polarity_precompute(X, n, axis=axis, prefix="q")
+    Xj = X.replace(**{f: getattr(X, f) - getattr(r, f)
+                      for f in X._fields})
+    aug_j = polarity_precompute(Xj, n, axis=axis, prefix="q")
+    AugT = mp("PcpAug", *(list(X._fields[3:]) + list(aug_i.keys())))
+    Xi_a = AugT(*X, *aug_i.values())
+    r_a = AugT(*r, *(aug_i[k] - aug_j[k] for k in aug_i))
+    fast = bending_force_fast(Xi_a, r_a, dist, axis=axis, p="q")
+
+    for f in ("x", "y", "z", "theta2", "phi2"):
+        a = np.asarray(getattr(ref, f))
+        b = np.asarray(getattr(fast, f))
+        assert np.allclose(a, b, atol=5e-5, rtol=1e-4), \
+            f"PCP fast path differs in {f}: {np.abs(a-b).max()}"
+    assert np.asarray(fast.theta).max() == 0  # first axis untouched
