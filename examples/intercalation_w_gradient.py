@@ -147,9 +147,38 @@ def main(n_steps=n_time_steps):
     protrusions = Links(n_max * prots_per_cell, protrusion_strength, seed=9)
     update = make_update_protrusions(cells.n_pad)
     key = jax.random.PRNGKey(9)
-    epi_nbs = jnp.zeros(cells.n_pad)
-    mes_nbs = jnp.zeros(cells.n_pad)
     ctype_prop = Property(cells.n_pad, "cell_type")
+
+    # One jitted program per step: rewire + Heun step (link forces through
+    # the generic hook) + proliferate -- a single device dispatch, mirroring
+    # the reference's per-step kernel sequence (intercalation_w_gradient.cu
+    # :226-248) without its per-launch round trips.
+    cells._ensure_device()
+    engine = cells.engine
+    from yalla_tpu.links import linear_force, _link_gen_fn
+    from yalla_tpu.solvers import GenericForce, heun_step
+    from yalla_tpu.ops.common import friction_w_neighbour
+    gen_static = GenericForce(fn=_link_gen_fn(linear_force),
+                              fields=("x", "y", "z"))
+
+    @jax.jit
+    def fused_step(X, old_v, n, a, b, key):
+        n_links = jnp.minimum(n * prots_per_cell, a.shape[0])
+        live = jnp.arange(a.shape[0], dtype=jnp.int32) < n_links
+        k1, k2 = jax.random.split(key)
+        a2, b2 = update(a, b, X, n, k1)
+        a = jnp.where(live, a2, a)
+        b = jnp.where(live, b2, b)
+        X, old_v, aux = heun_step(
+            engine, force, friction_w_neighbour, gen_static, "com",
+            X, old_v, n, jnp.float32(dt), jnp.float32(r_max), jnp.int32(0),
+            (a, b, n_links, jnp.float32(protrusion_strength)),
+            polarity_precompute)
+        X, old_v, n, _, _ = proliferate(
+            want_fn, child_fn, X, old_v, n, k2,
+            props=(aux["epi_nbs"], aux["mes_nbs"]))
+        errs = {k: v for k, v in aux.items() if k.startswith("__err_")}
+        return X, old_v, n, a, b, n_links, errs
 
     with Vtk_output("intercalation_w_gradient") as output:
         for _ in range(n_steps + 1):
@@ -160,17 +189,13 @@ def main(n_steps=n_time_steps):
             output.write_field(cells, "w")
             output.write_field(cells, "f")
 
-            protrusions.set_d_n(min(cells.get_d_n() * prots_per_cell,
-                                    protrusions.n_max))
-            protrusions.update(update, cells)
-            aux = cells.take_step(dt, force,
-                                  gen_forces=link_forces(protrusions),
-                                  precompute=polarity_precompute)
-            epi_nbs, mes_nbs = aux["epi_nbs"], aux["mes_nbs"]
             key, sub = jax.random.split(key)
-            cells.d_X, cells.d_old_v, cells.d_n, _, _ = proliferate(
-                want_fn, child_fn, cells.d_X, cells.d_old_v, cells.d_n,
-                sub, props=(epi_nbs, mes_nbs))
+            (cells.d_X, cells.d_old_v, cells.d_n, protrusions.d_a,
+             protrusions.d_b, protrusions.d_n, errs) = fused_step(
+                cells.d_X, cells.d_old_v, cells.d_n,
+                protrusions.d_a, protrusions.d_b, sub)
+            assert not any(float(np.max(np.asarray(v)))
+                           for v in errs.values()), errs
 
 
 if __name__ == "__main__":
