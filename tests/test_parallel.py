@@ -111,3 +111,54 @@ def test_lattice_z_slab_sharded_matches_single():
     # halo path actually exercised: cells span every z slab
     cz = np.clip(np.floor(pos[:n, 2]) + gs // 2, 0, gs - 1)
     assert len(np.unique(cz // (gs // 8))) >= 4
+
+
+def test_sharded_lattice_engine_with_links():
+    """ShardedLatticeEngine composes with the generic integrator: links
+    (generic forces) + friction mixing + COM fix reproduce the single-chip
+    trajectory over the 8-device ring (multi-chip protrusion models)."""
+    from yalla_tpu.links import Links, link_forces
+    from yalla_tpu.parallel.lattice_spmd import (ShardedLatticeEngine,
+                                                 make_z_mesh)
+    from yalla_tpu.solvers import heun_steps
+
+    n = 4_000
+    n_pad = 4_096
+    gs, C = 16, 16
+    rng = np.random.default_rng(21)
+    side = int(np.ceil(n ** (1 / 3)))
+    g = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"),
+                 -1).reshape(-1, 3)[:n_pad]
+    pos = (g - side / 2) * 0.8 + rng.uniform(-0.15, 0.15, (len(g), 3))
+    pos = np.concatenate(
+        [pos, np.zeros((max(0, n_pad - len(pos)), 3))])[:n_pad]
+    X0 = Float3(x=jnp.asarray(pos[:, 0], jnp.float32),
+                y=jnp.asarray(pos[:, 1], jnp.float32),
+                z=jnp.asarray(pos[:, 2], jnp.float32))
+    ov0 = Float3.zeros(n_pad)
+    links = Links(n // 2, strength=0.2, seed=5)
+    links.h_a[:n // 2] = rng.integers(0, n, n // 2)
+    links.h_b[:n // 2] = rng.integers(0, n, n // 2)
+    links.copy_to_device()
+    gen = link_forces(links)
+    gen_static = gen._replace(args=None)
+    args = (jnp.int32(n), jnp.float32(0.1), jnp.float32(1.0), jnp.int32(0),
+            gen.args)
+
+    from yalla_tpu.solvers import TileEngine
+    Xr, ovr, auxr = heun_steps(4, TileEngine(), clipped_spring,
+                               friction_w_neighbour, gen_static, "com",
+                               X0, ov0, *args)
+
+    mesh = make_z_mesh()
+    eng = ShardedLatticeEngine(mesh=mesh, grid_size=gs, capacity=C,
+                               z_block=2)
+    Xm, ovm, auxm = heun_steps(4, eng, clipped_spring,
+                               friction_w_neighbour, gen_static, "com",
+                               X0, ov0, *args)
+    assert float(auxm["__err_lattice_dropped"]) == 0
+    for f in ("x", "y", "z"):
+        a = np.asarray(getattr(Xr, f))[:n]
+        b = np.asarray(getattr(Xm, f))[:n]
+        assert np.allclose(a, b, atol=5e-5), \
+            f"sharded engine + links diverges in {f}: {np.abs(a - b).max()}"

@@ -42,7 +42,8 @@ try:  # jax >= 0.6 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["make_z_mesh", "lattice_sharded_heun_steps"]
+__all__ = ["make_z_mesh", "lattice_sharded_heun_steps",
+           "ShardedLatticeEngine"]
 
 
 def make_z_mesh(devices=None, axis="z"):
@@ -50,6 +51,107 @@ def make_z_mesh(devices=None, axis="z"):
     devices = devices if devices is not None else jax.devices()
     from jax.sharding import Mesh
     return Mesh(np.array(devices).reshape(-1), (axis,))
+
+
+def _halo_fns(axis, D, gz, gs, W):
+    """(with_halo) for a local [gz, gs, W] slab: one-plane ppermute
+    exchange on z (zeros at the ring edges) plus the y zero padding the
+    pairwise core expects."""
+    fwd = [(i, i + 1) for i in range(D - 1)]
+    bwd = [(i + 1, i) for i in range(D - 1)]
+
+    def with_halo(a_flat, fill=0.0):
+        a3 = a_flat.reshape(gz, gs, W).astype(jnp.float32) \
+            if a_flat.dtype == jnp.bool_ else a_flat.reshape(gz, gs, W)
+        if D == 1:
+            lo = hi = jnp.zeros_like(a3[:1])
+        else:
+            lo = jax.lax.ppermute(a3[-1:], axis, fwd)
+            hi = jax.lax.ppermute(a3[:1], axis, bwd)
+        a3 = jnp.concatenate([lo, a3, hi], axis=0)
+        return jnp.pad(a3, ((0, 0), (1, 1), (0, 0)), constant_values=fill)
+
+    return with_halo
+
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ShardedLatticeEngine:
+    """Neighbour engine running the dense-lattice pass z-slab-sharded over
+    a device ring -- a drop-in ``engine`` for ``heun_step``/``Solution``,
+    so generic forces (links, walls) and every integrator feature compose
+    with multi-chip execution unchanged.  The lattice build runs under
+    GSPMD (slot arrays constrained to the z sharding); the force pass runs
+    under ``shard_map`` with one-plane ``ppermute`` halos; results return
+    in stable-id order (sharding chosen by GSPMD).
+
+    Unlike ``lattice_sharded_heun_steps`` (fully lattice-resident chunks)
+    this rebuilds per pairwise pass -- the reference's own cadence
+    (solvers.cuh:494) -- trading throughput for full composability."""
+    mesh: object
+    grid_size: int = 64
+    capacity: int = 8
+    z_block: int = 2
+    axis: str = "z"
+
+    def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
+                 i_offset=0, i_size=None):
+        assert i_offset == 0 and i_size is None
+        from ..solvers import augment  # noqa: F401 (documented contract)
+        gs, C = self.grid_size, self.capacity
+        mesh, axis = self.mesh, self.axis
+        D = mesh.shape[axis]
+        assert gs % D == 0
+        gz = gs // D
+        assert gz % self.z_block == 0
+        W = gs * C
+        n_pad = X.x.shape[0]
+        slot_sh = NamedSharding(mesh, P(axis))
+        with_halo = _halo_fns(axis, D, gz, gs, W)
+
+        lay = lattice_build(X, old_v, n, cube_size, gs, C)
+        constrain = lambda a: jax.lax.with_sharding_constraint(a, slot_sh)
+        T_leaves = [constrain(a) for a in jax.tree.leaves(lay.T)]
+        ov_leaves = [constrain(a) for a in lay.Tov]
+        pid = constrain(lay.pid)
+        T_tree = jax.tree.structure(lay.T)
+        zb = self.z_block
+
+        def local(T_leaves, ov_leaves, pid, cube_size):
+            occ = pid < n_pad
+            Pp = jax.tree.unflatten(T_tree, [with_halo(a)
+                                             for a in T_leaves])
+            Pov = Float3(*[with_halo(a) for a in ov_leaves])
+            Pocc = with_halo(occ) > 0.5
+            Ppid = with_halo(pid.astype(jnp.float32),
+                             float(n_pad)).astype(jnp.int32)
+            F, sum_f, sum_v, aux = pairwise_on_padded(
+                pw_int, pw_friction, Pp, Pov, Pocc, Ppid, cube_size,
+                grid_size=gs, capacity=C, z_block=zb)
+            return (F, sum_f, list(sum_v), aux)
+
+        spec_slot, spec_rep = P(axis), P()
+        nT = len(T_leaves)
+        inner = shard_map(
+            local, mesh=mesh,
+            in_specs=([spec_slot] * nT, [spec_slot] * 3, spec_slot,
+                      spec_rep),
+            out_specs=(spec_slot, spec_slot, [spec_slot] * 3, spec_slot),
+            check_vma=False)
+        F, sum_f, sum_v, aux = inner(T_leaves, ov_leaves, pid, cube_size)
+
+        # slot space -> stable ids (GSPMD decides the gather layout)
+        n_slots = lay.pid.shape[0]
+        ok = lay.slot_of < n_slots
+        pick = jnp.where(ok, lay.slot_of, 0)
+        back = lambda a: jnp.where(ok, a[pick], 0.0)
+        F = jax.tree.map(back, F)
+        aux = {k: back(v) for k, v in aux.items()}
+        aux["__err_lattice_dropped"] = lay.n_dropped.astype(jnp.float32)
+        aux["__err_out_of_grid"] = lay.n_oob.astype(jnp.float32)
+        return (F, back(sum_f), tuple(back(v) for v in sum_v), aux)
 
 
 def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
