@@ -133,7 +133,9 @@ def test_epithelium_polarity_statistics():
     from yalla_tpu.inits import relaxed_sphere
 
     rng = np.random.default_rng(2)
-    cells = Solution(Po_cell, E.n_cells, solver="grid")
+    # literal reference config (epithelium.cu:10-12); the module constants
+    # may have been overridden by the example smoke tests' reloads
+    cells = Solution(Po_cell, 250, solver="grid")
     relaxed_sphere(0.8, cells, rng=rng)
     h = cells.h_X
     d = np.sqrt(h.x ** 2 + h.y ** 2 + h.z ** 2)
@@ -158,7 +160,9 @@ def test_epithelium_polarity_statistics():
         return radial_align, rn.max() - rn.mean()
 
     align0, spread0 = stats(cells)
-    cells.take_steps(E.n_time_steps, E.dt, E.layer_force,
+    # literal reference schedule (epithelium.cu:11-12) -- the module-level
+    # constants may have been overridden by the example smoke tests
+    cells.take_steps(100, 0.05, E.layer_force,
                      pw_friction=friction_on_background)
     align1, spread1 = stats(cells)
     assert align1 > 0.98, f"polarity not radial: {align1:.3f}"
