@@ -100,19 +100,34 @@ def _relax(points, steps, dt=0.1):
     """Run the relu relaxation.  Relaxation sizes are small by design (the
     reference warns above 10-15k points, inits.cuh:110-112), so the
     all-pairs engine is both faster and kinder to the device than a
-    2000-step scan of a neighbor-search engine."""
+    2000-step scan of a neighbor-search engine.
+
+    The scratch Solution is sized to the ACTIVE count, not the caller's
+    capacity: growth models relax a few hundred seeds inside an n_max of
+    10^5-10^6, and an all-pairs pass over the padded capacity would be
+    ~n_pad^2 wasted lanes per step (enough to trip device watchdogs)."""
     from .solvers import Solution, TileEngine
-    if isinstance(points.engine, TileEngine):
+    m = points.h_n
+    if isinstance(points.engine, TileEngine) and points.n_pad <= 2 * m:
         points.take_steps(steps, dt, relu_force)
         return
-    tmp = Solution(points.pt_type, points.n_max, engine=TileEngine(),
-                   n_pad=points.n_pad)
-    tmp.h_X = points.h_X
-    tmp.h_n = points.h_n
+    tmp = Solution(points.pt_type, max(m, 1), engine=TileEngine())
+    for f in points.pt_type._fields:
+        getattr(tmp.h_X, f)[:m] = getattr(points.h_X, f)[:m]
+    tmp.h_n = m
     tmp.copy_to_device()
     tmp.take_steps(steps, dt, relu_force)
-    points.h_X = tmp.copy_to_host()
-    points.d_old_v = tmp.d_old_v
+    h = tmp.copy_to_host()
+    for f in points.pt_type._fields:
+        getattr(points.h_X, f)[:m] = getattr(h, f)[:m]
+    ov = np.asarray(
+        [np.array(a[:m]) for a in tmp.d_old_v])  # [3, m]
+    import jax.numpy as jnp
+    from .dtypes import Float3
+    pad = np.zeros((3, points.n_pad - m), np.float32)
+    full = np.concatenate([ov, pad], axis=1)
+    points.d_old_v = Float3(x=jnp.asarray(full[0]), y=jnp.asarray(full[1]),
+                            z=jnp.asarray(full[2]))
     points.copy_to_device()
 
 
