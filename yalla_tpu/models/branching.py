@@ -164,11 +164,14 @@ def make_child_fn(p: Params):
     return child
 
 
-def default_engine(n_now, n_max, p: Params = Params(), extent=None):
+def default_engine(n_now, n_max, p: Params = Params(), extent=None,
+                   max_occ=9):
     """Engine for the current population: the gather-grid translation at
     small n, the Pallas lattice above (sized for the populated extent plus
     growth headroom -- resize via ``engine_for_state`` when the in-loop
-    out-of-grid flag fires)."""
+    out-of-grid / capacity flags fire).  ``max_occ`` defaults to the
+    measured settled-tissue occupancy of the branching potential
+    (BASELINE.md: 8, +1 transient headroom)."""
     from ..solvers import LatticeEngine
     from ..ops.lattice_xla import pick_lattice_dims
     if n_max <= 20_000:
@@ -177,19 +180,27 @@ def default_engine(n_now, n_max, p: Params = Params(), extent=None):
         # packed-ball radius at the current count (~0.75 spacing)
         import numpy as np
         extent = 0.8 * (3 * max(n_now, 1) / (4 * np.pi)) ** (1 / 3) + 2.0
-    gs, C = pick_lattice_dims(extent * 1.3, p.r_max, 7)
+    gs, C = pick_lattice_dims(extent * 1.3, p.r_max, max_occ)
     pallas = jax.default_backend() == "tpu"
     return LatticeEngine(grid_size=gs, capacity=C, z_block=2, pallas=pallas)
 
 
 def engine_for_state(state, n_max, p: Params = Params()):
-    """Re-derive the lattice engine from the live state's extent (use when
-    a frame reports ``__err_out_of_grid`` / capacity flags)."""
+    """Re-derive the lattice engine from the live state's extent AND
+    measured cube occupancy (use when a frame reports
+    ``__err_out_of_grid`` / ``__err_lattice_dropped``: a fixed occupancy
+    guess would rebuild the identical engine and retry-fail forever)."""
     import numpy as np
     n = int(state.n)
-    extent = max(float(jnp.max(jnp.abs(a[:max(n, 1)])))
-                 for a in (state.X.x, state.X.y, state.X.z))
-    return default_engine(n, n_max, p, extent=extent + 2.0)
+    h = [np.asarray(a[:max(n, 1)])
+         for a in (state.X.x, state.X.y, state.X.z)]
+    extent = max(float(np.max(np.abs(a))) for a in h)
+    cid = 0
+    for a in h:
+        cid = cid * (2 ** 21) + np.floor(a / p.r_max).astype(np.int64)
+    max_occ = int(np.unique(cid, return_counts=True)[1].max()) if n else 1
+    return default_engine(n, n_max, p, extent=extent + 2.0,
+                          max_occ=max_occ + 1)
 
 
 def init_state(n_0, n_max, p: Params = Params(), engine: GridEngine = None,

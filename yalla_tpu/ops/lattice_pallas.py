@@ -254,9 +254,13 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
         yrow = jax.lax.broadcasted_iota(jnp.int32, (1, gs, 1), 1)
         zrow = jax.lax.broadcasted_iota(jnp.int32, (zb, 1, 1), 0)
-        # slot id of i (f32-exact: < gs^3*C << 2^24)
-        i_ids = (((zi * zb + zrow) * gs + yrow) * W + lane).astype(
-            jnp.float32)
+        # SLAB-LOCAL slot id of i: the contract guarantees only i == j /
+        # i != j semantics (module docs), so the id needs to be exact and
+        # injective only over one slab plus the offset range -- local ids
+        # stay far below 2^24 for any grid size, where a global
+        # ((zi*zb+z)*gs+y)*W+x id would lose f32 exactness past
+        # gs^3*C = 2^24 slots and silently alias i == j for distinct pairs
+        i_ids = ((zrow * gs + yrow) * W + lane).astype(jnp.float32)
 
         def accumulate(outs, cut, ovj):
             # cut is None (self pairs, always in range) or an f32 0/1 mask

@@ -30,7 +30,8 @@ from .common import evaluate_pairs, mask_tree
 
 __all__ = ["LatticeLayout", "lattice_build", "lattice_unbuild",
            "lattice_pairwise_resident", "lattice_heun_steps",
-           "lattice_overflow_count", "lattice_grid_for", "pick_lattice_dims"]
+           "lattice_overflow_count", "lattice_grid_for", "pick_lattice_dims",
+           "slot_to_stable"]
 
 
 def lattice_grid_for(pos_max, cube_size, capacity=8):
@@ -162,6 +163,15 @@ def lattice_unbuild(layout: LatticeLayout, X, old_v):
 
 def lattice_overflow_count(layout):
     return layout.n_dropped
+
+
+def slot_to_stable(layout, tree, fill=0.0):
+    """Gather a slot-space pytree back to stable-id order (``fill`` for
+    ids with no slot: inactive or capacity-dropped)."""
+    n_slots = layout.pid.shape[0]
+    ok = layout.slot_of < n_slots
+    pick = jnp.where(ok, layout.slot_of, 0)
+    return jax.tree.map(lambda a: jnp.where(ok, a[pick], fill), tree)
 
 
 def lattice_pairwise_resident(pw_int, pw_friction, layout, n, cube_size, *,
@@ -341,10 +351,8 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
             grid_size=gs, capacity=C, z_block=z_block)
         F = truncate_aug(F, orig_type)
         if gen is not None:
-            n_slots = lay.pid.shape[0]
-            ok = lay.slot_of < n_slots
-            pick = jnp.where(ok, lay.slot_of, 0)
-            X_st = jax.tree.map(lambda a: jnp.where(ok, a[pick], 0.0), T)
+            ok = lay.slot_of < lay.pid.shape[0]
+            X_st = slot_to_stable(lay, T)
             dXg = gen.fn(X_st, n, gen_args)
             fields = gen.fields if gen.fields is not None \
                 else type(F)._fields
@@ -384,12 +392,7 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                         z=jnp.where(occ, dX.z - fz, 0.0))
         return dX, aux
 
-    def to_stable(lay, tree_slots, fill=0.0):
-        n_slots = lay.pid.shape[0]
-        ok = lay.slot_of < n_slots
-        pick = jnp.where(ok, lay.slot_of, 0)
-        return jax.tree.map(lambda a: jnp.where(ok, a[pick], fill),
-                            tree_slots)
+    to_stable = slot_to_stable
 
     def nonfinite(tree):
         return jnp.any(jnp.stack([jnp.any(~jnp.isfinite(a))

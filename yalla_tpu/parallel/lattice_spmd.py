@@ -143,15 +143,12 @@ class ShardedLatticeEngine:
         F, sum_f, sum_v, aux = inner(T_leaves, ov_leaves, pid, cube_size)
 
         # slot space -> stable ids (GSPMD decides the gather layout)
-        n_slots = lay.pid.shape[0]
-        ok = lay.slot_of < n_slots
-        pick = jnp.where(ok, lay.slot_of, 0)
-        back = lambda a: jnp.where(ok, a[pick], 0.0)
-        F = jax.tree.map(back, F)
-        aux = {k: back(v) for k, v in aux.items()}
+        from ..ops.lattice_xla import slot_to_stable
+        back = lambda t: slot_to_stable(lay, t)
+        aux = back(aux)
         aux["__err_lattice_dropped"] = lay.n_dropped.astype(jnp.float32)
         aux["__err_out_of_grid"] = lay.n_oob.astype(jnp.float32)
-        return (F, back(sum_f), tuple(back(v) for v in sum_v), aux)
+        return (back(F), back(sum_f), tuple(back(list(sum_v))), aux)
 
 
 def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
@@ -178,27 +175,7 @@ def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
     n_local = gz * gs * W
     slot_sh = NamedSharding(mesh, P(axis))
 
-    fwd = [(i, i + 1) for i in range(D - 1)]
-    bwd = [(i + 1, i) for i in range(D - 1)]
-
-    def exchange_halo(a3, fill):
-        """[gz, gs, W] -> ([1, gs, W] from below, [1, gs, W] from above);
-        edge devices receive zeros from ppermute -- occ stays False there,
-        so fill only matters for non-occ channels (where it is unused)."""
-        del fill
-        if D == 1:
-            zeroplane = jnp.zeros_like(a3[:1])
-            return zeroplane, zeroplane
-        lo = jax.lax.ppermute(a3[-1:], axis, fwd)
-        hi = jax.lax.ppermute(a3[:1], axis, bwd)
-        return lo, hi
-
-    def with_halo(a_flat, fill=0.0):
-        a3 = a_flat.reshape(gz, gs, W).astype(jnp.float32) \
-            if a_flat.dtype == jnp.bool_ else a_flat.reshape(gz, gs, W)
-        lo, hi = exchange_halo(a3, fill)
-        a3 = jnp.concatenate([lo, a3, hi], axis=0)
-        return jnp.pad(a3, ((0, 0), (1, 1), (0, 0)), constant_values=fill)
+    with_halo = _halo_fns(axis, D, gz, gs, W)
 
     def local_chunk(T_leaves, ov_leaves, pid, n, dt, cube_size, fix_point):
         """rebuild_every steps on the local slab (runs under shard_map)."""
@@ -302,11 +279,8 @@ def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
         X, old_v = lattice_unbuild(lay, X, old_v)
 
         # aux accumulators back to stable-id order
-        n_slots = lay.pid.shape[0]
-        ok = lay.slot_of < n_slots
-        pick = jnp.where(ok, lay.slot_of, 0)
-        aux_st = jax.tree.map(lambda a: jnp.where(ok, a[pick], 0.0),
-                              aux_last)
+        from ..ops.lattice_xla import slot_to_stable
+        aux_st = slot_to_stable(lay, aux_last)
         bad = bad | (bad_c > 0)
         for leaf in jax.tree.leaves(X):
             bad = bad | jnp.any(~jnp.isfinite(leaf))

@@ -135,17 +135,14 @@ class LatticeEngine:
             pw_int, pw_friction, lay, n, cube_size,
             grid_size=self.grid_size, capacity=self.capacity,
             z_block=self.z_block)
-        n_slots = lay.pid.shape[0]
-        ok = lay.slot_of < n_slots
-        pick = jnp.where(ok, lay.slot_of, 0)
-        back = lambda a: jnp.where(ok, a[pick], 0.0)
-        aux = {k: back(v) for k, v in aux.items()}
+        from .ops.lattice_xla import slot_to_stable
+        back = lambda t: slot_to_stable(lay, t)
+        aux = back(aux)
         # per-pass D_ASSERT flags (dropped cells silently lose all their
         # pairs; out-of-grid cells are mis-binned, ref solvers.cuh:361-364)
         aux["__err_lattice_dropped"] = lay.n_dropped.astype(jnp.float32)
         aux["__err_out_of_grid"] = lay.n_oob.astype(jnp.float32)
-        return (jax.tree.map(back, F), back(sum_f),
-                tuple(map(back, sum_v)), aux)
+        return (back(F), back(sum_f), tuple(back(list(sum_v))), aux)
 
 
 @dataclass(frozen=True)
@@ -277,9 +274,15 @@ def heun_step(engine, pw_int, pw_friction, gen, fix_mode,
     """One 2nd-order step.  Pure; jitted once per (engine, forces) combo."""
     d = partial(_deriv, engine, pw_int, pw_friction, gen, fix_mode,
                 precompute)
-    dX, _ = d(X, old_v, n, cube_size, fix_point, gen_args)
+    dX, aux1 = d(X, old_v, n, cube_size, fix_point, gen_args)
     X1 = jax.tree.map(lambda a, b: a + b * dt, X, dX)
     dX1, aux = d(X1, old_v, n, cube_size, fix_point, gen_args)
+    # failure flags must survive from BOTH passes: a capacity overflow in
+    # the predictor already mis-integrated the state even if the corrector
+    # pass happens to fit (ref asserts fire in every kernel launch)
+    for k in aux:
+        if k.startswith(ERR_PREFIX):
+            aux[k] = jnp.maximum(aux[k], aux1[k])
     X_new = jax.tree.map(lambda a, b, c: a + (b + c) * (0.5 * dt), X, dX, dX1)
     old_v_new = Float3(x=(dX.x + dX1.x) * 0.5,
                        y=(dX.y + dX1.y) * 0.5,

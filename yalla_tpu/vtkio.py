@@ -254,10 +254,15 @@ class Vtk_output:
 
     # -- wall-clock report (ref vtk.cuh:75-91) --------------------------------
     def close(self):
-        self.drain()
-        if self._pool is not None:
-            self._pool.shutdown(wait=True)
-            self._pool = None
+        try:
+            self.drain()
+        finally:
+            # a failed write job must not leak the worker thread or the
+            # jobs queued behind it
+            self._pending.clear()
+            if self._pool is not None:
+                self._pool.shutdown(wait=True)
+                self._pool = None
         if not self.verbose:
             return
         self.verbose = False  # report once
