@@ -106,7 +106,7 @@ def build(n_cells, seed=0):
     # generous transient headroom: the jittered IC compresses locally and
     # expands toward its ~0.8 rest spacing while settling (C = 16 is
     # always lane-aligned; margin covers the expansion)
-    gs0 = lattice_grid_for(extent0 * 1.04, p.r_max, 8)
+    gs0 = lattice_grid_for(extent0 * 1.04 + 1.0, p.r_max, 8)
     # two phases at the well-proven Pallas C=8 shapes: geometric
     # relaxation with the relu band, then settling under the *full*
     # force -- the full force's tighter rest bands re-compress the
@@ -159,6 +159,8 @@ def measure(n_cells, n_steps, seed=0):
     out = run(n_steps)
     _ = float(np.asarray(out[0].x)[0])
     dt = time.perf_counter() - t0
+    print(f"# measured {n_cells}: {n_cells * n_steps / dt:.4g} "
+          f"cell-steps/s", file=sys.stderr)
     aux = out[2]
     assert int(aux["__err_lattice_dropped"]) == 0, \
         "cube capacity overflow during the timed run"
@@ -167,16 +169,38 @@ def measure(n_cells, n_steps, seed=0):
     return n_cells * n_steps / dt, run.config
 
 
+def _measure_retry(n_cells, n_steps, tries=3):
+    """The tunnelled TPU worker occasionally restarts between heavy jobs
+    ('worker crashed or restarted' on valid programs, see ROADMAP.md);
+    retry with a pause before giving up."""
+    for attempt in range(tries):
+        try:
+            return measure(n_cells, n_steps)
+        except jax.errors.JaxRuntimeError as e:
+            if "UNAVAILABLE" not in str(e) or attempt == tries - 1:
+                raise
+            print(f"# TPU worker unavailable (attempt {attempt + 1}); "
+                  f"retrying in 60 s", file=sys.stderr)
+            time.sleep(60)
+
+
 def main():
     n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    # persistent compile cache: tunnel compiles are minutes-long and this
+    # benchmark's program shapes are stable across runs
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
-    rate, config = measure(n_cells, n_steps)
+    rate, config = _measure_retry(n_cells, n_steps)
     extra = {"config": config}
     if n_cells >= 100_000:
         # the second BASELINE.json size: 5k cells (all on one chip)
         extra["cell_steps_per_sec_5k"], extra["config_5k"] = \
-            measure(5_000, max(n_steps, 40))
+            _measure_retry(5_000, max(n_steps, 40))
         extra["cell_steps_per_sec_5k"] = round(
             extra["cell_steps_per_sec_5k"], 1)
     print(json.dumps({
