@@ -153,3 +153,32 @@ def test_inloop_lattice_out_of_grid():
     pts.copy_to_device()
     with pytest.raises(SimulationError, match="out_of_grid"):
         pts.take_steps(2, 0.1, _relu)
+
+
+def test_predictor_pass_flags_survive():
+    """A capacity overflow in the PREDICTOR pass must surface even when
+    the corrector pass (on the spread-out X1) is under capacity -- the
+    state was already mis-integrated (ref asserts fire per kernel launch;
+    heun_step used to keep only the corrector's aux)."""
+    import jax.numpy as jnp
+    import pytest
+    from yalla_tpu import GridEngine, SimulationError
+
+    pts = Solution(Float3, 8, engine=GridEngine(grid_size=16, row_cap=4))
+    # 8 cells inside one cube: 3-cube-row candidates = 8 > row_cap = 4
+    pts.h_X.x[:8] = np.linspace(0.1, 0.6, 8)
+    pts.h_X.y[:8] = 0.3
+    pts.h_X.z[:8] = 0.3
+    pts.copy_to_device()
+
+    def blast(Xi, r, dist, i, j):
+        # strong repulsion: X1 spreads far past one cube, so the
+        # corrector pass sees under-capacity rows
+        safe = jnp.where(dist > 0, dist, 1.0)
+        w = jnp.where((i != j) & (dist < 1.0), 40.0 / safe, 0.0)
+        return Float3(x=r.x * w, y=r.y * w, z=r.z * w)
+
+    with pytest.raises(SimulationError, match="grid_overflow"):
+        pts.take_step(1.0, blast)
+    # sanity: the corrector state really was under capacity
+    assert not pts.check_grid_capacity()
