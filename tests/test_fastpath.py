@@ -349,3 +349,18 @@ def test_bending_fast_second_axis():
         assert np.allclose(a, b, atol=5e-5, rtol=1e-4), \
             f"PCP fast path differs in {f}: {np.abs(a-b).max()}"
     assert np.asarray(fast.theta).max() == 0  # first axis untouched
+
+
+def test_resident_staleness_metric():
+    """rebuild_every > 1 publishes the measured max in-chunk displacement
+    (certifies the stale-binning approximation instead of assuming it)."""
+    from yalla_tpu.inits import relu_force
+    n = 80
+    pts = Solution(Float3, n, solver="tile")
+    random_sphere(0.8, pts, rng=np.random.default_rng(12))
+    X, ov, aux = lattice_heun_steps(
+        8, 4, relu_force, friction_w_neighbour, "com", 16, 16, 4,
+        pts.d_X, pts.d_old_v, jnp.int32(n), jnp.float32(0.1),
+        jnp.float32(1.0), jnp.int32(0))
+    d = float(aux["stale_max_disp"])
+    assert 0 < d < 0.5, f"staleness metric implausible: {d}"

@@ -440,10 +440,21 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
 
         (T, Tov), auxs = jax.lax.scan(step, (lay.T, lay.Tov), None,
                                       length=rebuild_every)
+        # staleness certification: the largest in-chunk displacement bounds
+        # how far the binning went stale between rebuilds (with
+        # cube_size == cutoff the missed just-entering pairs carry force
+        # ~|F(cutoff)| for at most this long) -- published as a metric so
+        # rebuild_every > 1 is certified by measurement, not assumed
+        occ = occ_of(lay)
+        disp = jnp.zeros(())
+        for f in ("x", "y", "z"):
+            delta = jnp.abs(getattr(T, f) - getattr(lay.T, f))
+            disp = jnp.maximum(disp, jnp.max(jnp.where(occ, delta, 0.0)))
         lay = lay._replace(T=T, Tov=Tov)
         X, old_v = lattice_unbuild(lay, X, old_v)
         # aux accumulators back to stable-id order
         aux_last = to_stable(lay, jax.tree.map(lambda a: a[-1], auxs))
+        aux_last["stale_max_disp"] = disp
         bad = bad | nonfinite(X)
         return (X, old_v, dropped, oob, bad), aux_last
 
@@ -452,6 +463,9 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
     (X, old_v, dropped, oob, bad), auxs = jax.lax.scan(
         body, carry0, None, length=n_steps // rebuild_every)
     aux = jax.tree.map(lambda a: a[-1], auxs)
+    if "stale_max_disp" in aux:
+        # worst staleness across ALL chunks, not just the last
+        aux["stale_max_disp"] = jnp.max(auxs["stale_max_disp"])
     # in-loop failure flags (the reference's D_ASSERT layer): cube-capacity
     # drops / out-of-grid clipping at any rebuild and non-finite state at
     # any chunk boundary (ref solvers.cuh:82,90,153-154,361-364)
