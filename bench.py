@@ -150,8 +150,86 @@ def build(n_cells, seed=0):
     return run
 
 
-def measure(n_cells, n_steps, seed=0):
-    run = build(n_cells, seed)
+def build_sorting(n_cells, seed=0):
+    """5k-class configuration per BASELINE.json: "sorting/epithelium-class
+    models" -- differential-adhesion cubic mechanics
+    (ref examples/sorting.cu:16-28) on a relaxed ball.  Unlike the
+    branching force, the adhesive potential keeps the tissue compact, so
+    this is the representative small-model regime."""
+    import jax.numpy as jnp
+    from yalla_tpu.dtypes import Float3, make_pt
+    from yalla_tpu.inits import relu_force
+    from yalla_tpu.ops.common import friction_w_neighbour
+    from yalla_tpu.ops.lattice_xla import lattice_heun_steps, \
+        lattice_grid_for, pick_lattice_dims
+
+    Cell = make_pt("SortCell", "ctype")
+    rng = np.random.default_rng(seed)
+    n_pad = max(64, -(-n_cells // 64) * 64)
+    side = int(np.ceil(n_cells ** (1 / 3)))
+    g = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"),
+                 -1).reshape(-1, 3)[:n_pad]
+    pos = (g - side / 2) * 0.75 + rng.uniform(-0.2, 0.2, (len(g), 3))
+    pos = np.concatenate(
+        [pos, np.zeros((max(0, n_pad - len(pos)), 3))])[:n_pad]
+    X = Cell(x=jnp.asarray(pos[:, 0], jnp.float32),
+             y=jnp.asarray(pos[:, 1], jnp.float32),
+             z=jnp.asarray(pos[:, 2], jnp.float32),
+             ctype=jnp.asarray((rng.random(n_pad) < 0.5)
+                               .astype(np.float32)))
+    old_v = Float3.zeros(n_pad)
+    n = jnp.int32(n_cells)
+    pallas = jax.default_backend() == "tpu"
+    r_max, r_min, dt = 1.0, 0.5, 0.05
+
+    def adhesion(Xi, r, dist, i, j):
+        # ref sorting.cu:16-28: strength by type pair
+        near = (i != j) & (dist < r_max)
+        same = r.ctype == 0.0
+        strength = jnp.where(same, jnp.where(Xi.ctype > 0.5, 9.0, 1.0),
+                             3.0)
+        F = 2 * (r_min - dist) * (r_max - dist) + (r_max - dist) ** 2
+        pos_ = dist > 0
+        inv = jnp.where(pos_, 1.0 / jnp.where(pos_, dist, 1.0), 0.0)
+        w = jnp.where(near, strength * F * inv, 0.0)
+        zero = jnp.zeros_like(dist)
+        return Cell(x=r.x * w, y=r.y * w, z=r.z * w, ctype=zero)
+
+    _, extent0 = _max_occ(X, n_cells, 64, r_max)
+    gs0 = lattice_grid_for(extent0 * 1.1 + 1.0, r_max, 8)
+    X, old_v, aux = lattice_heun_steps(
+        RELAX_STEPS, REBUILD_EVERY, relu_force, friction_w_neighbour,
+        "com", gs0, 16, 2, X, old_v, n, jnp.float32(0.1),
+        jnp.float32(r_max), jnp.int32(0), None, False)
+    assert int(aux["__err_out_of_grid"]) == 0
+    X, old_v, aux = lattice_heun_steps(
+        RELAX_STEPS, REBUILD_EVERY, adhesion, friction_w_neighbour,
+        "com", gs0, 16, 2, X, old_v, n, jnp.float32(dt),
+        jnp.float32(r_max), jnp.int32(0), None, False)
+    assert int(aux["__err_out_of_grid"]) == 0
+    old_v = jax.tree.map(jnp.zeros_like, old_v)
+
+    max_occ, extent = _max_occ(X, n_cells, gs0, r_max)
+    gs, C = pick_lattice_dims(extent, r_max, max_occ)
+    print(f"# bench config (sorting 5k-class): n={n_cells} "
+          f"extent={extent:.1f} max_occ={max_occ} -> gs={gs} C={C}",
+          file=sys.stderr)
+
+    def run(n_steps):
+        k = REBUILD_EVERY
+        while n_steps % k:
+            k -= 1
+        return lattice_heun_steps(
+            n_steps, k, adhesion, friction_w_neighbour, "com", gs, C, 2,
+            X, old_v, n, jnp.float32(dt), jnp.float32(r_max),
+            jnp.int32(0), None, pallas)
+
+    run.config = {"gs": int(gs), "C": int(C), "max_occ": int(max_occ)}
+    return run
+
+
+def measure(n_cells, n_steps, seed=0, builder=None):
+    run = (builder or build)(n_cells, seed)
     out = run(n_steps)  # compile + warm up (same scan length as timed run)
     _ = float(np.asarray(out[0].x)[0])  # force completion (readback)
 
@@ -169,13 +247,13 @@ def measure(n_cells, n_steps, seed=0):
     return n_cells * n_steps / dt, run.config
 
 
-def _measure_retry(n_cells, n_steps, tries=3):
+def _measure_retry(n_cells, n_steps, tries=3, builder=None):
     """The tunnelled TPU worker occasionally restarts between heavy jobs
     ('worker crashed or restarted' on valid programs, see ROADMAP.md);
     retry with a pause before giving up."""
     for attempt in range(tries):
         try:
-            return measure(n_cells, n_steps)
+            return measure(n_cells, n_steps, builder=builder)
         except jax.errors.JaxRuntimeError as e:
             if "UNAVAILABLE" not in str(e) or attempt == tries - 1:
                 raise
@@ -200,7 +278,7 @@ def main():
     if n_cells >= 100_000:
         # the second BASELINE.json size: 5k cells (all on one chip)
         extra["cell_steps_per_sec_5k"], extra["config_5k"] = \
-            _measure_retry(5_000, max(n_steps, 40))
+            _measure_retry(5_000, max(n_steps, 40), builder=build_sorting)
         extra["cell_steps_per_sec_5k"] = round(
             extra["cell_steps_per_sec_5k"], 1)
     print(json.dumps({

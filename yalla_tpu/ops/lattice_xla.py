@@ -50,7 +50,7 @@ def pick_lattice_dims(pos_max, cube_size, max_occ):
     the 128-lane row constraint.  The in-loop overflow flags catch any
     occupancy growth past C during a run."""
     best = None
-    for C in range(max(4, max_occ + 1), max(8, max_occ + 1) + 5):
+    for C in range(max(4, max_occ + 1), max(16, max_occ + 1) + 9):
         gs = lattice_grid_for(pos_max, cube_size, C)
         cost = gs ** 3 * C * (4 * C - 1)
         if best is None or cost < best[0]:
