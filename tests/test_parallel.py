@@ -38,7 +38,7 @@ def _run_sharded(engine, init_h, n, n_pad, steps):
     old_v = Float3.zeros(n_pad)
     X, old_v = shard_state(mesh, X, old_v)
     step = make_sharded_step(mesh, engine, clipped_spring, n_steps=steps)
-    X, old_v = step(X, old_v, jnp.int32(n), jnp.float32(0.1),
+    X, old_v, errs = step(X, old_v, jnp.int32(n), jnp.float32(0.1),
                     jnp.float32(1.0), jnp.int32(0))
     return Float3(*[np.asarray(f) for f in X])
 

@@ -29,6 +29,7 @@ __all__ = [
     "friction_on_background",
     "evaluate_pairs",
     "mask_tree",
+    "split_force_output",
     "ERR_PREFIX",
 ]
 
@@ -55,6 +56,16 @@ def mask_tree(tree, mask):
     return jax.tree.map(lambda a: jnp.where(mask, a, jnp.zeros_like(a)), tree)
 
 
+def split_force_output(out):
+    """(dF, aux) from a force's return value.  A Pt is itself a tuple; the
+    (dF, aux) form is a plain 2-tuple whose second element is a dict of
+    named per-pair accumulators."""
+    if (isinstance(out, tuple) and not hasattr(out, "_fields")
+            and len(out) == 2 and isinstance(out[1], dict)):
+        return out
+    return out, {}
+
+
 def evaluate_pairs(pw_int, pw_friction, Xi, Xj, old_v_j, i, j, pair_mask,
                    sum_axes, cutoff=None):
     """Evaluate forces + friction over one block of candidate pairs.
@@ -74,14 +85,7 @@ def evaluate_pairs(pw_int, pw_friction, Xi, Xj, old_v_j, i, j, pair_mask,
     if cutoff is not None:
         pair_mask = pair_mask & (dist < cutoff)
 
-    out = pw_int(Xi, r, dist, i, j)
-    # A Pt is itself a tuple; the (dF, aux) form is a plain 2-tuple with a
-    # dict of named per-pair accumulators second.
-    if (isinstance(out, tuple) and not hasattr(out, "_fields")
-            and len(out) == 2 and isinstance(out[1], dict)):
-        dF, aux = out
-    else:
-        dF, aux = out, {}
+    dF, aux = split_force_output(pw_int(Xi, r, dist, i, j))
 
     def msum(a):
         a = jnp.broadcast_to(a, pair_mask.shape)

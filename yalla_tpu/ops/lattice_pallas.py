@@ -24,13 +24,13 @@ on a v5e chip:
     force supplies an ``offdiag`` attribute (same force without its i == j
     branch, cf. the reference's explicit early branch, branching.cu:64-78),
     the hot loop traces that instead.
-  - **No occupancy channel**: empty slots carry ``x = 1e9`` (set before
+  - **No occupancy channel**: empty slots carry ``x = X_SENTINEL`` (set before
     stacking), so the cutoff test excludes them for free; the garbage an
     empty *i*-lane accumulates about itself is discarded when results are
     gathered back to stable-id order (``lattice_unbuild`` / ``to_stable``
     read only live slots) and by the integrator's occupancy masking.
   - **Masks fold into dist**: x-window validity (and the s == 0 diagonal)
-    poison the pair distance to 1e9 instead of masking every output; each
+    poison the pair distance to the sentinel instead of masking every output; each
     accumulator then costs one fma (``out += val * cut`` with
     ``cut = dist < cube_size`` -- also the engine's cutoff contract,
     ref solvers.cuh:450).  Forces vanish past the cutoff by that same
@@ -59,18 +59,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["lattice_pairwise_pallas"]
 
-X_SENTINEL = 1e9  # empty-slot / out-of-window position poison
+# Empty-slot / out-of-window position poison.  Large enough that any
+# sentinel-involved pair distance exceeds every cutoff (coordinates are
+# bounded by gs/2 * cube_size << 1e4), small enough that force bodies
+# evaluating polynomials of r at the sentinel stay finite in f32 (r^9
+# would still be ~1e36 < f32 max); forces must merely be finite -- not
+# zero -- at sentinel inputs, since invalid lanes are multiplied by a
+# zero cut factor during accumulation.
+X_SENTINEL = 1e4
 
 
 def _interpret():
     return jax.default_backend() == "cpu"
 
 
-def _split_probe(out):
-    if (isinstance(out, tuple) and not hasattr(out, "_fields")
-            and len(out) == 2 and isinstance(out[1], dict)):
-        return out
-    return out, {}
+from .common import split_force_output as _split_probe
 
 
 def _var_key(v):
@@ -117,6 +120,10 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
     zb = z_block
     assert gs % zb == 0
     nz = gs // zb
+    # slab-local slot ids ride f32 lanes; they (plus the largest window
+    # offset) must stay exactly representable
+    assert zb * gs * W + (gs + 1) * W + 2 * C < 2 ** 24, \
+        "z_block * gs^2 * C too large for exact f32 slot ids"
     n_shifts = 4 * C - 1        # flat x shifts cover cube offsets -1..+1
 
     pw_off = getattr(pw_int, "offdiag", None) or pw_int

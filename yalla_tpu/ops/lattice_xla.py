@@ -290,12 +290,9 @@ def pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid, cube_size, *,
         zero = jnp.zeros((zb, gs, W), jnp.float32)
         # Probe the force's output structure (dF type may differ from the
         # augmented input type; aux dict keys must be static).
-        probe = pw_int(Xi, Xi - Xi, jnp.ones_like(zero), i_ids, i_ids)
-        if (isinstance(probe, tuple) and not hasattr(probe, "_fields")
-                and len(probe) == 2 and isinstance(probe[1], dict)):
-            dF_probe, aux_probe = probe
-        else:
-            dF_probe, aux_probe = probe, {}
+        from .common import split_force_output
+        dF_probe, aux_probe = split_force_output(
+            pw_int(Xi, Xi - Xi, jnp.ones_like(zero), i_ids, i_ids))
         acc0 = (jax.tree.map(lambda a: zero, dF_probe), zero,
                 (zero, zero, zero), {k: zero for k in aux_probe})
         acc, _ = jax.lax.scan(one_group, acc0, (dzs, dys, rss, wts))
@@ -408,9 +405,13 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
             return (to_stable(lay, dXs), to_stable(lay, aux_s),
                     lay.n_dropped, lay.n_oob)
 
-        d1, _, dr1, ob1 = dstable(X)
+        d1, aux1, dr1, ob1 = dstable(X)
         X1 = jax.tree.map(lambda a, b: a + b * dt, X, d1)
         d2, aux, dr2, ob2 = dstable(X1)
+        # force-published __err_* flags must survive the predictor pass too
+        for k in aux:
+            if k.startswith("__err_"):
+                aux[k] = jnp.maximum(aux[k], aux1[k])
         X_new = jax.tree.map(lambda a, b, c: a + (b + c) * (0.5 * dt),
                              X, d1, d2)
         ov = Float3(x=(d1.x + d2.x) * 0.5, y=(d1.y + d2.y) * 0.5,
@@ -426,34 +427,45 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         dropped = jnp.maximum(dropped, lay.n_dropped)
         oob = jnp.maximum(oob, lay.n_oob)
 
+        occ = occ_of(lay)
+
         def step(c, _):
             T, Tov = c
             lay_t = lay._replace(Tov=Tov)
-            d1, _ = deriv(lay_t, T, n)
+            d1, aux1 = deriv(lay_t, T, n)
             T1 = jax.tree.map(lambda a, b: a + b * dt, T, d1)
             d2, aux = deriv(lay_t, T1, n)
+            for k in aux:
+                if k.startswith("__err_"):
+                    aux[k] = jnp.maximum(aux[k], aux1[k])
             T_new = jax.tree.map(lambda a, b, c2: a + (b + c2) * (0.5 * dt),
                                  T, d1, d2)
             ov_new = Float3(x=(d1.x + d2.x) * 0.5, y=(d1.y + d2.y) * 0.5,
                             z=(d1.z + d2.z) * 0.5)
-            return (T_new, ov_new), aux
+            # displacement vs the chunk-start binning positions (running
+            # max below: non-monotonic motion must not hide staleness)
+            disp_t = jnp.zeros(())
+            for f in ("x", "y", "z"):
+                delta = jnp.abs(getattr(T_new, f) - getattr(lay.T, f))
+                disp_t = jnp.maximum(disp_t,
+                                     jnp.max(jnp.where(occ, delta, 0.0)))
+            return (T_new, ov_new), (aux, disp_t)
 
-        (T, Tov), auxs = jax.lax.scan(step, (lay.T, lay.Tov), None,
-                                      length=rebuild_every)
+        (T, Tov), (auxs, disps) = jax.lax.scan(
+            step, (lay.T, lay.Tov), None, length=rebuild_every)
         # staleness certification: the largest in-chunk displacement bounds
         # how far the binning went stale between rebuilds (with
         # cube_size == cutoff the missed just-entering pairs carry force
         # ~|F(cutoff)| for at most this long) -- published as a metric so
         # rebuild_every > 1 is certified by measurement, not assumed
-        occ = occ_of(lay)
-        disp = jnp.zeros(())
-        for f in ("x", "y", "z"):
-            delta = jnp.abs(getattr(T, f) - getattr(lay.T, f))
-            disp = jnp.maximum(disp, jnp.max(jnp.where(occ, delta, 0.0)))
+        disp = jnp.max(disps)
         lay = lay._replace(T=T, Tov=Tov)
         X, old_v = lattice_unbuild(lay, X, old_v)
-        # aux accumulators back to stable-id order
-        aux_last = to_stable(lay, jax.tree.map(lambda a: a[-1], auxs))
+        # aux accumulators back to stable-id order; transient __err_*
+        # flags accumulate (max) over the chunk's steps
+        aux_last = to_stable(lay, {
+            k: (a.max(0) if k.startswith("__err_") else a[-1])
+            for k, a in auxs.items()})
         aux_last["stale_max_disp"] = disp
         bad = bad | nonfinite(X)
         return (X, old_v, dropped, oob, bad), aux_last
@@ -462,7 +474,8 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
     carry0 = (X, old_v, jnp.int32(0), jnp.int32(0), jnp.bool_(False))
     (X, old_v, dropped, oob, bad), auxs = jax.lax.scan(
         body, carry0, None, length=n_steps // rebuild_every)
-    aux = jax.tree.map(lambda a: a[-1], auxs)
+    aux = {k: (a.max(0) if k.startswith("__err_") else a[-1])
+           for k, a in auxs.items()}
     if "stale_max_disp" in aux:
         # worst staleness across ALL chunks, not just the last
         aux["stale_max_disp"] = jnp.max(auxs["stale_max_disp"])

@@ -81,10 +81,16 @@ def window_build(X, n, cube_size, grid_size, block):
     return WindowData(order, sorted_cid, ws, we)
 
 
-def window_overflow(data: WindowData, w_max):
-    """True if any block-row window exceeds the static capacity ``w_max``
-    (candidates would be silently dropped -- raise the capacity)."""
-    return jnp.any(data.we - data.ws > w_max)
+def window_overflow(data: WindowData, w_max, n=None):
+    """True if any block-row window drops a *real* candidate at capacity
+    ``w_max``.  Sentinel (padded) slots sort past every active cube, so
+    spans reaching into the padded tail are not real drops: only
+    candidates below ``n`` count (without this, any state with
+    ``n_pad - n > w_max`` flags spuriously)."""
+    n_pad = data.order.shape[0]
+    hi = data.we if n is None else jnp.minimum(data.we, n)
+    base = jnp.clip(data.ws, 0, max(n_pad - w_max, 0))
+    return jnp.any(hi - base > w_max)
 
 
 def window_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
@@ -152,8 +158,12 @@ def window_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
                 sum_v = tuple(a + c for a, c in zip(acc[2], out[2]))
                 aux = {k: acc[3][k] + out[3][k] for k in acc[3]}
                 acc = (F, sum_f, sum_v, aux)
-        # in-loop capacity check: a window wider than w_max drops candidates
-        over = jnp.any(we[b] - ws[b] > w_max).astype(jnp.float32)
+        # in-loop capacity check: flag only when a *real* (pos < n)
+        # candidate falls outside the w_max slice -- spans that merely
+        # reach into the sorted padded tail drop nothing
+        hi = jnp.minimum(we[b], n)
+        base_b = jnp.clip(ws[b], 0, max(n_pad - w_max, 0))
+        over = jnp.any(hi - base_b > w_max).astype(jnp.float32)
         acc[3]["__err_grid_overflow"] = jnp.where(
             active_i[:, 0], over, 0.0)
         return acc

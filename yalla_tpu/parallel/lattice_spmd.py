@@ -162,6 +162,12 @@ def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
     fixes, friction mixing, in-loop failure flags); pure -- call it inside
     your own ``jax.jit``.  ``X``/``old_v`` are stable-id pytrees (any
     sharding; outputs match inputs' structure).
+
+    Known deviation: ``rebuild_every == 1`` still bins once per *step*
+    (both Heun passes share the predictor-state binning), where the
+    single-chip ``chunk_exact`` rebuilds per pass; use
+    ``ShardedLatticeEngine`` with the generic ``heun_step`` when per-pass
+    rebuild exactness matters more than resident throughput.
     """
     from ..solvers import augment, truncate_aug
     assert n_steps % rebuild_every == 0
@@ -238,7 +244,8 @@ def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
 
         (T, Tov), auxs = jax.lax.scan(step, (T0, Tov0), None,
                                       length=rebuild_every)
-        aux_last = jax.tree.map(lambda a: a[-1], auxs)
+        aux_last = {k: (a.max(0) if k.startswith("__err_") else a[-1])
+                    for k, a in auxs.items()}
         bad = jnp.zeros((), bool)
         for leaf in jax.tree.leaves(T) + jax.tree.leaves(Tov):
             bad = bad | jnp.any(~jnp.isfinite(jnp.where(occ, leaf, 0.0)))
@@ -289,7 +296,8 @@ def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
     carry0 = (X, old_v, jnp.int32(0), jnp.int32(0), jnp.bool_(False))
     (X, old_v, dropped, oob, bad), auxs = jax.lax.scan(
         chunk, carry0, None, length=n_steps // rebuild_every)
-    aux = jax.tree.map(lambda a: a[-1], auxs)
+    aux = {k: (a.max(0) if k.startswith("__err_") else a[-1])
+           for k, a in auxs.items()}
     aux["__err_lattice_dropped"] = dropped
     aux["__err_out_of_grid"] = oob
     aux["__err_non_finite"] = bad

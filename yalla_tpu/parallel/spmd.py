@@ -75,6 +75,11 @@ def make_sharded_step(mesh, engine, pw_int, *,
             F, sum_f, sum_v, aux = engine.pairwise(
                 pw_int, pw_friction, augment(X_full, n, precompute),
                 old_v_full, n, cube_size, i_offset=offset, i_size=size)
+            # in-loop failure flags: reduce engine __err_* channels to
+            # scalars and psum-max over the ring (the ERR_PREFIX contract,
+            # ops/common.py; the single-chip path raises on these)
+            errs = {k: jax.lax.pmax(jnp.max(v), axis)
+                    for k, v in aux.items() if k.startswith("__err_")}
             F = truncate_aug(F, type(X_full))
             if gen is not None:
                 dXg = gen.fn(X_full, n, gen_args)
@@ -108,23 +113,31 @@ def make_sharded_step(mesh, engine, pw_int, *,
                 raise ValueError(fix_mode)
             return dX.replace(x=jnp.where(active, dX.x - fx, 0.0),
                               y=jnp.where(active, dX.y - fy, 0.0),
-                              z=jnp.where(active, dX.z - fz, 0.0))
+                              z=jnp.where(active, dX.z - fz, 0.0)), errs
 
         def one_step(carry, _):
             X_sh, old_v_sh = carry
             old_v_full = gather(old_v_sh)  # re-gathered every step
-            d1 = deriv(gather(X_sh), old_v_full)
+            d1, e1 = deriv(gather(X_sh), old_v_full)
             X1_sh = jax.tree.map(lambda a, b: a + b * dt, X_sh, d1)
-            d2 = deriv(gather(X1_sh), old_v_full)
+            d2, e2 = deriv(gather(X1_sh), old_v_full)
             X_new = jax.tree.map(lambda a, b, c: a + (b + c) * (0.5 * dt),
                                  X_sh, d1, d2)
             ov = Float3(x=(d1.x + d2.x) * 0.5, y=(d1.y + d2.y) * 0.5,
                         z=(d1.z + d2.z) * 0.5)
-            return (X_new, ov), None
+            errs = {k: jnp.maximum(e1[k], e2[k]) for k in e1}
+            nonfin = jnp.zeros((), jnp.float32)
+            for leaf in jax.tree.leaves(X_new):
+                nonfin = jnp.maximum(
+                    nonfin, jnp.any(~jnp.isfinite(leaf)).astype(jnp.float32))
+            errs["__err_non_finite"] = jnp.maximum(
+                errs.get("__err_non_finite", 0.0),
+                jax.lax.pmax(nonfin, axis))
+            return (X_new, ov), errs
 
-        (X_out, ov_out), _ = jax.lax.scan(
+        (X_out, ov_out), errs = jax.lax.scan(
             one_step, (X_sh, old_v_sh), None, length=n_steps)
-        return X_out, ov_out
+        return X_out, ov_out, jax.tree.map(lambda a: a.max(0), errs)
 
     spec_cells = P(axis)
     spec_rep = P()
@@ -134,15 +147,29 @@ def make_sharded_step(mesh, engine, pw_int, *,
                             is_leaf=lambda x: x is None) if tree is not None \
             else None
 
+    _cache = {}
+
     def step(X, old_v, n, dt, cube_size, fix_point, gen_args=None):
-        in_specs = (jax.tree.map(lambda _: spec_cells, X),
-                    jax.tree.map(lambda _: spec_cells, old_v),
-                    spec_rep, spec_rep, spec_rep, spec_rep,
-                    specs_like(gen_args, spec_rep))
-        out_specs = (jax.tree.map(lambda _: spec_cells, X),
-                     jax.tree.map(lambda _: spec_cells, old_v))
-        fn = shard_map(body, mesh=mesh, in_specs=in_specs,
-                       out_specs=out_specs, check_vma=False)
-        return jax.jit(fn)(X, old_v, n, dt, cube_size, fix_point, gen_args)
+        """Returns (X, old_v, errs): errs holds the scalar in-loop
+        ``__err_*`` flags (max over steps, passes, and devices) -- check
+        them like ``Solution._check_errors`` does.
+
+        The jitted shard_map is cached per pytree structure, so repeated
+        calls hit the jit cache instead of retracing."""
+        key = (jax.tree.structure((X, old_v)),
+               jax.tree.structure(gen_args) if gen_args is not None
+               else None)
+        if key not in _cache:
+            in_specs = (jax.tree.map(lambda _: spec_cells, X),
+                        jax.tree.map(lambda _: spec_cells, old_v),
+                        spec_rep, spec_rep, spec_rep, spec_rep,
+                        specs_like(gen_args, spec_rep))
+            out_specs = (jax.tree.map(lambda _: spec_cells, X),
+                         jax.tree.map(lambda _: spec_cells, old_v),
+                         spec_rep)
+            _cache[key] = jax.jit(shard_map(
+                body, mesh=mesh, in_specs=in_specs,
+                out_specs=out_specs, check_vma=False))
+        return _cache[key](X, old_v, n, dt, cube_size, fix_point, gen_args)
 
     return step

@@ -565,7 +565,7 @@ class Solution:
             data = window_build(self.d_X, self.d_n,
                                 jnp.float32(self.cube_size * (1 + e.skin)),
                                 e.grid_size, min(e.block, self.n_pad))
-            if bool(window_overflow(data, e.w_max)):
+            if bool(window_overflow(data, e.w_max, self.d_n)):
                 problems["window_capacity_overflow"] = True
         return problems
 
