@@ -29,6 +29,9 @@ __all__ = [
     "friction_on_background",
     "evaluate_pairs",
     "mask_tree",
+    "cube_coord",
+    "cube_ids",
+    "out_of_grid_mask",
     "split_force_output",
     "ERR_PREFIX",
 ]
@@ -54,6 +57,38 @@ def friction_on_background(Xi, r, dist, i, j):
 
 def mask_tree(tree, mask):
     return jax.tree.map(lambda a: jnp.where(mask, a, jnp.zeros_like(a)), tree)
+
+
+def cube_coord(v, cube_size, grid_size):
+    """Grid coordinate of one axis, clipped into the grid (the reference
+    D_ASSERTs in-bounds instead, solvers.cuh:361-364; out-of-grid states
+    are detected separately via :func:`out_of_grid_any`)."""
+    c = jnp.floor(v / cube_size).astype(jnp.int32) + grid_size // 2
+    return jnp.clip(c, 0, grid_size - 1)
+
+
+def cube_ids(X, n, cube_size, grid_size):
+    """Cube id per point, x-minor (ref solvers.cuh:349-365); inactive
+    points get the sentinel ``grid_size**3`` (sorts past every cube)."""
+    gs = grid_size
+    active = jnp.arange(X.x.shape[0], dtype=jnp.int32) < n
+    cid = (cube_coord(X.x, cube_size, gs)
+           + cube_coord(X.y, cube_size, gs) * gs
+           + cube_coord(X.z, cube_size, gs) * gs * gs)
+    return jnp.where(active, cid, gs * gs * gs)
+
+
+def out_of_grid_mask(X, n, cube_size, grid_size):
+    """Per-point True where an active point's UNCLIPPED cube coordinate
+    falls outside the grid (clipping would mis-bin it)."""
+    gs = grid_size
+    active = jnp.arange(X.x.shape[0], dtype=jnp.int32) < n
+
+    def bad(v):
+        c = jnp.floor(v / cube_size).astype(jnp.int32) + gs // 2
+        return (c < 0) | (c >= gs)
+
+    return active & (bad(X.x) | bad(X.y) | bad(X.z))
 
 
 def split_force_output(out):

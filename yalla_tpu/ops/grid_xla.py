@@ -62,17 +62,11 @@ def build_grid(X, n, cube_size, grid_size):
     clipped to the grid (the reference device-asserts instead; models must
     stay within gs/2 cubes of the origin either way).
     """
+    from .common import cube_ids
     n_pad = X.x.shape[0]
     gs = grid_size
     n_cubes = gs * gs * gs
-    active = jnp.arange(n_pad, dtype=jnp.int32) < n
-
-    def coord(v):
-        c = jnp.floor(v / cube_size).astype(jnp.int32) + gs // 2
-        return jnp.clip(c, 0, gs - 1)
-
-    cid = coord(X.x) + coord(X.y) * gs + coord(X.z) * gs * gs
-    cid = jnp.where(active, cid, n_cubes)  # sentinel: sorts last
+    cid = cube_ids(X, n, cube_size, gs)  # sentinel n_cubes sorts last
 
     iota = jnp.arange(n_pad, dtype=jnp.int32)
     sorted_cid, order = jax.lax.sort((cid, iota), num_keys=1)
@@ -111,14 +105,8 @@ def grid_out_of_bounds(X, n, cube_size, grid_size):
     folded into corner cubes two neighbour rows can clip to overlapping
     spans and double-count pairs, so out-of-grid states must be detected
     rather than silently mis-integrated."""
-    gs = grid_size
-    active = jnp.arange(X.x.shape[0], dtype=jnp.int32) < n
-
-    def bad(v):
-        c = jnp.floor(v / cube_size).astype(jnp.int32) + gs // 2
-        return (c < 0) | (c >= gs)
-
-    return jnp.any(active & (bad(X.x) | bad(X.y) | bad(X.z)))
+    from .common import out_of_grid_mask
+    return jnp.any(out_of_grid_mask(X, n, cube_size, grid_size))
 
 
 def _candidates(order, rs, re, row_cap):

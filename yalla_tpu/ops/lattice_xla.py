@@ -72,17 +72,8 @@ class LatticeLayout(NamedTuple):
     #                         solvers.cuh:361-364)
 
 
-def _cube_ids(X, n, cube_size, grid_size):
-    n_pad = X.x.shape[0]
-    gs = grid_size
-    active = jnp.arange(n_pad, dtype=jnp.int32) < n
-
-    def coord(v):
-        c = jnp.floor(v / cube_size).astype(jnp.int32) + gs // 2
-        return jnp.clip(c, 0, gs - 1)
-
-    cid = coord(X.x) + coord(X.y) * gs + coord(X.z) * gs * gs
-    return jnp.where(active, cid, gs * gs * gs)
+from .common import cube_ids as _cube_ids
+from .common import out_of_grid_mask as _oob_mask
 
 
 def lattice_build(X, old_v, n, cube_size, grid_size, capacity):
@@ -103,12 +94,7 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity):
     iota = jnp.arange(n_pad, dtype=jnp.int32)
     active = iota < n
 
-    def outside(v):
-        c = jnp.floor(v / cube_size).astype(jnp.int32) + gs // 2
-        return (c < 0) | (c >= gs)
-
-    n_oob = jnp.sum(active & (outside(X.x) | outside(X.y) | outside(X.z)),
-                    dtype=jnp.int32)
+    n_oob = jnp.sum(_oob_mask(X, n, cube_size, gs), dtype=jnp.int32)
 
     leaves_X, tree_X = jax.tree.flatten(X)
     leaves_ov, tree_ov = jax.tree.flatten(old_v)

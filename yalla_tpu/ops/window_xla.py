@@ -48,17 +48,7 @@ class WindowData(NamedTuple):
     we: jnp.ndarray          # int32[n_blocks, 9]: window ends (exclusive)
 
 
-def _cube_ids(X, n, cube_size, grid_size):
-    n_pad = X.x.shape[0]
-    gs = grid_size
-    active = jnp.arange(n_pad, dtype=jnp.int32) < n
-
-    def coord(v):
-        c = jnp.floor(v / cube_size).astype(jnp.int32) + gs // 2
-        return jnp.clip(c, 0, gs - 1)
-
-    cid = coord(X.x) + coord(X.y) * gs + coord(X.z) * gs * gs
-    return jnp.where(active, cid, gs * gs * gs)
+from .common import cube_ids as _cube_ids
 
 
 def window_build(X, n, cube_size, grid_size, block):
