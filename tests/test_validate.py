@@ -182,3 +182,12 @@ def test_predictor_pass_flags_survive():
         pts.take_step(1.0, blast)
     # sanity: the corrector state really was under capacity
     assert not pts.check_grid_capacity()
+
+
+def test_solver_lattice_default_grid():
+    """Solution(solver='lattice') with the facade's default grid_size=50
+    must work: the engine normalizes z_block to a divisor of grid_size."""
+    pts = Solution(Float3, 128, solver="lattice", cube_size=1.0)
+    random_sphere(0.8, pts)
+    pts.take_step(0.1, _relu)
+    assert pts.engine.grid_size % pts.engine.z_block == 0

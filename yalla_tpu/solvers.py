@@ -121,6 +121,14 @@ class LatticeEngine:
     rebuild_every: int = 1
     pallas: bool = False
 
+    def __post_init__(self):
+        # z_block must divide grid_size (slab scan); shrink quietly so
+        # e.g. Solution(solver="lattice", grid_size=50) just works
+        zb = min(self.z_block, self.grid_size)
+        while self.grid_size % zb:
+            zb -= 1
+        object.__setattr__(self, "z_block", max(zb, 1))
+
     def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
                  i_offset=0, i_size=None):
         from .ops.lattice_xla import (lattice_build,
