@@ -159,7 +159,7 @@ def build(n_cells, seed=0):
             n_steps, k, force, friction_w_neighbour, "com", gs, C, zb,
             X, old_v, n, jnp.float32(p.dt),
             jnp.float32(cube), jnp.int32(0), polarity_precompute,
-            pallas)
+            pallas, None, None, jnp.float32(p.r_max))
 
     run.config = {"gs": int(gs), "C": int(C), "max_occ": int(max_occ),
                   "cube": float(cube)}
@@ -260,6 +260,11 @@ def measure(n_cells, n_steps, seed=0, builder=None):
         "cube capacity overflow during the timed run"
     assert int(aux["__err_out_of_grid"]) == 0, "cells left the grid"
     assert not bool(aux["__err_non_finite"]), "non-finite state"
+    if "__err_stale" in aux:
+        # rebuild_every > 1 is certified: no chunk moved far enough to hide
+        # a just-entering pair inside the binning margin
+        assert not bool(aux["__err_stale"]), \
+            "stale binning: displacement exceeded the rebuild margin"
     return n_cells * n_steps / dt, run.config
 
 

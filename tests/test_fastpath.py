@@ -364,3 +364,27 @@ def test_resident_staleness_metric():
         jnp.float32(1.0), jnp.int32(0))
     d = float(aux["stale_max_disp"])
     assert 0 < d < 0.5, f"staleness metric implausible: {d}"
+
+def test_resident_staleness_flag():
+    """With force_r_max given, rebuild_every > 1 self-certifies: a chunk
+    whose motion could hide a just-entering pair inside the binning margin
+    (2*disp > cube_size - r_max) raises __err_stale; a slow run does not."""
+    from yalla_tpu.inits import relu_force
+    n = 80
+    pts = Solution(Float3, n, solver="tile")
+    random_sphere(0.8, pts, rng=np.random.default_rng(12))
+
+    def run(dt):
+        # bin at 1.3 x the force's r_max = 1.0 -> margin 0.3
+        return lattice_heun_steps(
+            8, 4, relu_force, friction_w_neighbour, "com", 16, 16, 4,
+            pts.d_X, pts.d_old_v, jnp.int32(n), jnp.float32(dt),
+            jnp.float32(1.3), jnp.int32(0), None, False, None, None,
+            jnp.float32(1.0))
+
+    _, _, aux_slow = run(0.002)
+    assert float(aux_slow["__err_stale"]) == 0.0, \
+        f"slow run flagged stale (disp={float(aux_slow['stale_max_disp'])})"
+    _, _, aux_fast = run(0.8)
+    assert float(aux_fast["__err_stale"]) == 1.0, \
+        f"fast run not flagged (disp={float(aux_fast['stale_max_disp'])})"

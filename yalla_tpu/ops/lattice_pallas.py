@@ -222,21 +222,20 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
         SUMF, SUMV = M, M + 1
         M += 4
 
-    def stack_pad(chs, y_halo):
-        # z halo always (slab DMA window); y halo on the j side replaces
-        # edge-row masks -- the pad rows carry the x sentinel
+    def stack_pad(chs):
+        # one z-halo plane each side (the slab DMA window); y alignment
+        # happens in-kernel via circular sublane rolls with the wrapped
+        # edge rows masked through the geom_y dist fold
         outs = []
         for idx, c in enumerate(chs):
             fill = X_SENTINEL if idx == 0 else 0.0
-            pad = ((1, 1), (1, 1), (0, 0)) if y_halo \
-                else ((1, 1), (0, 0), (0, 0))
-            outs.append(jnp.pad(c.reshape(gs, gs, W), pad,
+            outs.append(jnp.pad(c.reshape(gs, gs, W),
+                                ((1, 1), (0, 0), (0, 0)),
                                 constant_values=fill))
         return jnp.stack(outs)
 
-    A_i = stack_pad(xi_channels, False)      # [K_i, gs+2, gs, W]
-    A_j = stack_pad(rj_channels, False)      # [K_j, gs+2, gs, W]
-    Wg = gs
+    A_i = stack_pad(xi_channels)      # [K_i, gs+2, gs, W]
+    A_j = stack_pad(rj_channels)      # [K_j, gs+2, gs, W]
 
     def kernel(scal_ref, Ai_hbm, Aj_hbm, out_ref, xi_ref, rj_ref, sems):
         zi = pl.program_id(0)
@@ -375,7 +374,7 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((K_i, zb, gs, W), jnp.float32),
-                pltpu.VMEM((K_j, zb + 2, Wg, W), jnp.float32),
+                pltpu.VMEM((K_j, zb + 2, gs, W), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),

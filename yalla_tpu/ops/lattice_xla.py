@@ -297,7 +297,7 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                        grid_size, capacity, z_block,
                        X, old_v, n, dt, cube_size, fix_point,
                        precompute=None, pallas=False, gen=None,
-                       gen_args=None):
+                       gen_args=None, force_r_max=None):
     """``n_steps`` Heun steps with lattice-resident state.
 
     Same integration semantics as ``solvers.heun_steps`` (COM/point fixes,
@@ -307,6 +307,15 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
     (solvers.cuh:494).  ``rebuild_every > 1`` keeps the state
     lattice-resident between rebuilds: cheaper, and physically equivalent
     for forces that vanish at the cutoff (all the reference potentials do).
+
+    ``force_r_max`` (optional, traced float): the force's own interaction
+    radius.  When given with ``rebuild_every > 1``, the run is
+    *self-certifying*: a chunk whose measured in-chunk displacement could
+    have brought a missed pair inside ``force_r_max``
+    (``2 * stale_max_disp > cube_size - force_r_max``) raises the
+    ``__err_stale`` flag -- the resident cadence is then exact by
+    measurement, not assumption (the reference re-bins per pass,
+    solvers.cuh:494, so its exactness burden sits on the rebuild cadence).
 
     ``gen`` (a static ``GenericForce`` with ``args=None``) + ``gen_args``
     run the reference's generic-forces hook (links, walls,
@@ -453,6 +462,12 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
             k: (a.max(0) if k.startswith("__err_") else a[-1])
             for k, a in auxs.items()})
         aux_last["stale_max_disp"] = disp
+        if force_r_max is not None:
+            # two cells each moving disp toward each other close the gap by
+            # 2*disp: if that exceeds the binning margin, a just-entering
+            # pair may have been missed during this chunk
+            aux_last["__err_stale"] = (
+                2.0 * disp > cube_size - force_r_max).astype(jnp.float32)
         bad = bad | nonfinite(X)
         return (X, old_v, dropped, oob, bad), aux_last
 

@@ -233,9 +233,14 @@ def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
 
         def step(c, _):
             T, Tov = c
-            d1, _ = deriv(T, Tov)
+            d1, aux1 = deriv(T, Tov)
             T1 = jax.tree.map(lambda a, b: a + b * dt, T, d1)
             d2, aux = deriv(T1, Tov)
+            # force-published __err_* flags must survive the predictor pass
+            # too (same max-merge as heun_step / lattice_heun_steps)
+            for k in aux:
+                if k.startswith("__err_"):
+                    aux[k] = jnp.maximum(aux[k], aux1[k])
             T_new = jax.tree.map(lambda a, b, c2: a + (b + c2) * (0.5 * dt),
                                  T, d1, d2)
             ov = Float3(x=(d1.x + d2.x) * 0.5, y=(d1.y + d2.y) * 0.5,

@@ -114,12 +114,17 @@ class LatticeEngine:
     throughput path for large N.  ``Solution.take_step(s)`` routes to the
     lattice-resident integrator; ``rebuild_every`` controls the binning
     refresh cadence (1 = reference-exact per-pass rebuild).  ``pallas``
-    selects the fused TPU kernel for the pair pass."""
+    selects the fused TPU kernel for the pair pass.  ``force_r_max``
+    (the force's interaction radius) opts in to staleness certification
+    when ``rebuild_every > 1``: a chunk whose measured displacement could
+    hide a just-entering pair within the binning margin
+    (``cube_size - force_r_max``) raises ``__err_stale``."""
     grid_size: int = 64
     capacity: int = 8
     z_block: int = 4
     rebuild_every: int = 1
     pallas: bool = False
+    force_r_max: float | None = None
 
     def __post_init__(self):
         # z_block must divide grid_size (slab scan); shrink quietly so
@@ -345,6 +350,11 @@ class Solution:
         self.n_max = int(n_max)
         self.n_pad = int(n_pad) if n_pad else _pad_size(self.n_max)
         assert self.n_pad >= self.n_max
+        # set when solver="grid" resolves to an auto lattice: the lattice
+        # must then cover the REQUESTED grid extent, not just the initial
+        # state's bounding box (a user who sized the grid for later growth
+        # would otherwise hit __err_out_of_grid mid-run)
+        self._requested_grid_size = None
         if engine is None:
             if solver == "auto":
                 # resolved lazily from the initial state (tile below the
@@ -358,8 +368,11 @@ class Solution:
                 # gather-bound direct translation is pathological on TPU,
                 # resolve to the lattice engine (identical cutoff
                 # semantics, cross-engine tests pin the physics)
-                engine = GridEngine(grid_size=grid_size, row_cap=row_cap) \
-                    if self.n_max <= 20_000 else None
+                if self.n_max <= 20_000:
+                    engine = GridEngine(grid_size=grid_size, row_cap=row_cap)
+                else:
+                    engine = None
+                    self._requested_grid_size = int(grid_size)
             elif solver == "window":
                 engine = WindowEngine(grid_size=grid_size)
             elif solver == "lattice":
@@ -447,8 +460,20 @@ class Solution:
         max_occ = int(np.unique(cid, return_counts=True)[1].max()) \
             if n else 1
         margin = max(2.0 * self.cube_size, 0.3 * extent)
-        gs, cap = pick_lattice_dims(extent + margin, self.cube_size,
-                                    max_occ + 1)
+        extent = extent + margin
+        if self._requested_grid_size is not None:
+            # solver="grid": honour the extent the caller sized the grid
+            # for (grid_size cubes across), not just today's bounding box
+            extent = max(extent,
+                         self._requested_grid_size * self.cube_size / 2)
+            import warnings
+            warnings.warn(
+                f"Solution(solver='grid', n_max={self.n_max}) uses the "
+                f"dense lattice engine above 20k points (same cutoff "
+                f"physics; sized to cover the requested "
+                f"{self._requested_grid_size}-cube grid). Pass an explicit "
+                f"engine= to override.", stacklevel=3)
+        gs, cap = pick_lattice_dims(extent, self.cube_size, max_occ + 1)
         pallas = jax.default_backend() == "tpu"
         return LatticeEngine(grid_size=gs, capacity=cap, z_block=2,
                              pallas=pallas)
@@ -507,12 +532,14 @@ class Solution:
             gen_args = gen.args if gen is not None else None
             gen_static = gen._replace(args=None) if gen is not None else None
             k = e.rebuild_every if int(n_steps) % e.rebuild_every == 0 else 1
+            rmax = jnp.float32(e.force_r_max) \
+                if e.force_r_max is not None else None
             self.d_X, self.d_old_v, self.aux = lattice_heun_steps(
                 int(n_steps), k, pw_int, pw_friction, self._fix_mode,
                 e.grid_size, e.capacity, e.z_block,
                 self.d_X, self.d_old_v, self.d_n, jnp.float32(dt),
                 jnp.float32(self.cube_size), jnp.int32(self._fix_point),
-                precompute, e.pallas, gen_static, gen_args)
+                precompute, e.pallas, gen_static, gen_args, rmax)
             if check_errors:
                 self._check_errors()
             return self.aux
