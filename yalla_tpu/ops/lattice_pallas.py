@@ -106,11 +106,22 @@ def _dependence(closed_jaxpr):
 
 
 def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
-                            grid_size, capacity, z_block):
+                            grid_size, capacity, z_block, y_block=8):
     """Pairwise sums in lattice layout on the TPU VPU (see module docs).
 
     Returns (F (dF-typed tree), sum_friction, sum_v 3-tuple, aux dict),
     all ``[n_slots]`` -- identical to ``lattice_pairwise_resident``.
+
+    The Pallas grid is blocked in BOTH z and y (``z_block`` x ``y_block``
+    cube blocks, full x rows).  The j-side slab is DMA'd *with its y and z
+    halo rows* from a padded HBM array, so the three dy windows are free
+    leading-axis slices (the round-2 kernel spent ~10% of issue slots on
+    per-shift circular y-rolls plus edge masking).  Blocks whose i-side
+    contains no occupied slot are skipped entirely: the force/offset loop
+    never runs for the empty corners of the grid box (a settled 500k
+    tissue ball occupies ~40% of its bounding lattice; empty blocks still
+    contribute their halo rows to neighbours via the j-side DMA, so the
+    skip is physics-exact).
     """
     gs, C = grid_size, capacity
     n_slots = layout.pid.shape[0]
@@ -120,10 +131,14 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
     zb = z_block
     assert gs % zb == 0
     nz = gs // zb
-    # slab-local slot ids ride f32 lanes; they (plus the largest window
+    yb = min(y_block, gs)
+    while gs % yb:
+        yb -= 1
+    ny = gs // yb
+    # block-local slot ids ride f32 lanes; they (plus the largest window
     # offset) must stay exactly representable
-    assert zb * gs * W + (gs + 1) * W + 2 * C < 2 ** 24, \
-        "z_block * gs^2 * C too large for exact f32 slot ids"
+    assert (zb + 2) * (yb + 2) * W + 2 * C < 2 ** 24, \
+        "z_block * y_block * gs * C too large for exact f32 slot ids"
     n_shifts = 4 * C - 1        # flat x shifts cover cube offsets -1..+1
 
     pw_off = getattr(pw_int, "offdiag", None) or pw_int
@@ -134,7 +149,7 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
         return jax.tree.unflatten(field_tree, leaves)
 
     # ---- trace-time structure probe + dependence analysis -----------------
-    shape = (zb, gs, W)
+    shape = (zb, yb, W)
     ex = jnp.zeros((8, 128), jnp.float32)
 
     def f_off(xi, xj, ids):
@@ -222,171 +237,171 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
         SUMF, SUMV = M, M + 1
         M += 4
 
-    def stack_pad(chs):
-        # one z-halo plane each side (the slab DMA window); y alignment
-        # happens in-kernel via circular sublane rolls with the wrapped
-        # edge rows masked through the geom_y dist fold
+    def stack_i(chs):
+        # i-side needs no halo: blocks slice it exactly
+        return jnp.stack([c.reshape(gs, gs, W) for c in chs])
+
+    def stack_j(chs):
+        # one halo plane each side in BOTH z and y (the block DMA windows);
+        # the position sentinel in the pad poisons out-of-grid partners
         outs = []
         for idx, c in enumerate(chs):
             fill = X_SENTINEL if idx == 0 else 0.0
             outs.append(jnp.pad(c.reshape(gs, gs, W),
-                                ((1, 1), (0, 0), (0, 0)),
+                                ((1, 1), (1, 1), (0, 0)),
                                 constant_values=fill))
         return jnp.stack(outs)
 
-    A_i = stack_pad(xi_channels)      # [K_i, gs+2, gs, W]
-    A_j = stack_pad(rj_channels)      # [K_j, gs+2, gs, W]
+    A_i = stack_i(xi_channels)        # [K_i, gs, gs, W]
+    A_j = stack_j(rj_channels)        # [K_j, gs+2, gs+2, W]
 
-    def kernel(scal_ref, Ai_hbm, Aj_hbm, out_ref, xi_ref, rj_ref, sems):
+    # per-block i-side occupancy: blocks with no live slot skip the whole
+    # offset loop (their sentinel i-lanes would only accumulate garbage
+    # that lattice_unbuild discards anyway, and their j-side halo
+    # contributions to live neighbours ride A_j regardless)
+    act = occ.reshape(nz, zb, ny, yb * W).any(axis=(1, 3))
+    act = act.reshape(-1).astype(jnp.int32)
+
+    def kernel(scal_ref, act_ref, Ai_hbm, Aj_hbm, out_ref, xi_ref, rj_ref,
+               sems):
         zi = pl.program_id(0)
-        csize = scal_ref[0]
-        cp_i = pltpu.make_async_copy(
-            Ai_hbm.at[:, pl.ds(zi * zb + 1, zb)], xi_ref, sems.at[0])
-        cp_j = pltpu.make_async_copy(
-            Aj_hbm.at[:, pl.ds(zi * zb, zb + 2)], rj_ref, sems.at[1])
-        cp_i.start()
-        cp_j.start()
-        cp_i.wait()
-        cp_j.wait()
-
+        yi = pl.program_id(1)
         out_ref[...] = jnp.zeros((M,) + shape, jnp.float32)
 
-        zero = jnp.zeros(shape, jnp.float32)
-        Xi_leaves = [xi_ref[xi_fields.index(k)] if xi_need[k]
-                     else zero for k in range(nf)]
-        Xi = unflatten_pt(Xi_leaves)
-        xi_leaf = Xi_leaves.__getitem__
+        @pl.when(act_ref[zi * ny + yi] > 0)
+        def _active_block():
+            csize = scal_ref[0]
+            cp_i = pltpu.make_async_copy(
+                Ai_hbm.at[:, pl.ds(zi * zb, zb), pl.ds(yi * yb, yb)],
+                xi_ref, sems.at[0])
+            cp_j = pltpu.make_async_copy(
+                Aj_hbm.at[:, pl.ds(zi * zb, zb + 2), pl.ds(yi * yb, yb + 2)],
+                rj_ref, sems.at[1])
+            cp_i.start()
+            cp_j.start()
+            cp_i.wait()
+            cp_j.wait()
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
-        yrow = jax.lax.broadcasted_iota(jnp.int32, (1, gs, 1), 1)
-        zrow = jax.lax.broadcasted_iota(jnp.int32, (zb, 1, 1), 0)
-        # SLAB-LOCAL slot id of i: the contract guarantees only i == j /
-        # i != j semantics (module docs), so the id needs to be exact and
-        # injective only over one slab plus the offset range -- local ids
-        # stay far below 2^24 for any grid size, where a global
-        # ((zi*zb+z)*gs+y)*W+x id would lose f32 exactness past
-        # gs^3*C = 2^24 slots and silently alias i == j for distinct pairs
-        i_ids = ((zrow * gs + yrow) * W + lane).astype(jnp.float32)
+            zero = jnp.zeros(shape, jnp.float32)
+            Xi_leaves = [xi_ref[xi_fields.index(k)] if xi_need[k]
+                         else zero for k in range(nf)]
+            Xi = unflatten_pt(Xi_leaves)
+            xi_leaf = Xi_leaves.__getitem__
 
-        def accumulate(outs, cut, ovj):
-            # cut is None (self pairs, always in range) or an f32 0/1 mask
-            # folded in as one fma per accumulator
-            for o, acc in acc_of_out.items():
-                v = jnp.broadcast_to(outs[o], shape)
-                out_ref[acc] += v if cut is None else v * cut
-            if have_fr:
-                fr = jnp.broadcast_to(outs[n_dF], shape)
-                if cut is not None:
-                    fr = fr * cut
-                out_ref[SUMF] += fr
-                for c in range(3):
-                    out_ref[SUMV + c] += fr * ovj[c]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+            yrow = jax.lax.broadcasted_iota(jnp.int32, (1, yb, 1), 1)
+            zrow = jax.lax.broadcasted_iota(jnp.int32, (zb, 1, 1), 0)
+            # BLOCK-LOCAL slot id of i: the contract guarantees only
+            # i == j / i != j semantics (module docs), so the id needs to
+            # be exact and injective only over one block plus the offset
+            # range -- local ids stay far below 2^24 for any grid size,
+            # where a global ((zi*zb+z)*gs+y)*W+x id would lose f32
+            # exactness past gs^3*C = 2^24 slots and silently alias
+            # i == j for distinct pairs
+            i_ids = (((zrow + 1) * (yb + 2) + (yrow + 1)) * W
+                     + lane).astype(jnp.float32)
 
-        def call_force(fn, r, dist, j_ids):
-            # r prebuilt with live-field subtractions only (dead fields
-            # share one zero buffer -- no wasted full-lane subs)
-            dF, aux = _split_probe(fn(Xi, r, dist, i_ids, j_ids))
-            fr = pw_friction(Xi, r, dist, i_ids, j_ids)
-            return (jax.tree.leaves(dF) + [fr]
-                    + [aux[k] for k in aux_keys])
+            def accumulate(outs, cut, ovj):
+                # cut is None (self pairs, always in range) or an f32 0/1
+                # mask folded in as one fma per accumulator
+                for o, acc in acc_of_out.items():
+                    v = jnp.broadcast_to(outs[o], shape)
+                    out_ref[acc] += v if cut is None else v * cut
+                if have_fr:
+                    fr = jnp.broadcast_to(outs[n_dF], shape)
+                    if cut is not None:
+                        fr = fr * cut
+                    out_ref[SUMF] += fr
+                    for c in range(3):
+                        out_ref[SUMV + c] += fr * ovj[c]
 
-        # --- self pairs: once per slab, off the hot loop -------------------
-        if any(live_diag):
-            r0 = unflatten_pt([zero] * nf)
-            outs = call_force(pw_int, r0, zero, i_ids)
-            ov_i = ([xi_ref[XI_OV + c] for c in range(3)]
-                    if fr_diag else (zero, zero, zero))
-            accumulate(outs, None, ov_i)
+            def call_force(fn, r, dist, j_ids):
+                # r prebuilt with live-field subtractions only (dead fields
+                # share one zero buffer -- no wasted full-lane subs)
+                dF, aux = _split_probe(fn(Xi, r, dist, i_ids, j_ids))
+                fr = pw_friction(Xi, r, dist, i_ids, j_ids)
+                return (jax.tree.leaves(dF) + [fr]
+                        + [aux[k] for k in aux_keys])
 
-        # --- 9 x (4C - 1) offset loop --------------------------------------
-        # j-slab pre-rolled so iteration t sees shift s = t - (2C - 1):
-        # rolled[l] = orig[l + s]
-        rj_ref[...] = pltpu.roll(rj_ref[...], 2 * C - 1, axis=3)
+            # --- self pairs: once per block, off the hot loop --------------
+            if any(live_diag):
+                r0 = unflatten_pt([zero] * nf)
+                outs = call_force(pw_int, r0, zero, i_ids)
+                ov_i = ([xi_ref[XI_OV + c] for c in range(3)]
+                        if fr_diag else (zero, zero, zero))
+                accumulate(outs, None, ov_i)
 
-        def body(t, _):
-            s = t - (2 * C - 1)
-            q = lane + s                       # partner's flat x position
-            dcube = (q + 4 * C) // C - (lane + 4 * C) // C
-            valid_x = (q >= 0) & (q < W) & (dcube >= -1) & (dcube <= 1)
+            # --- 9 x (4C - 1) offset loop ----------------------------------
+            # j-block pre-rolled so iteration t sees shift s = t - (2C - 1):
+            # rolled[l] = orig[l + s].  The (dz, dy) windows are free static
+            # slices of the halo'd j-block -- no rolls, no edge masks.
+            rj_ref[...] = pltpu.roll(rj_ref[...], 2 * C - 1, axis=3)
 
-            for dy in (0, 1, 2):
-                # one y sublane-roll per (dy, channel), hoisted out of the
-                # dz loop (dy == 1 is the identity); dz then slices the
-                # leading (free) axis.  Wrapped edge rows are masked via
-                # the dist fold below.
-                def yroll(c):
-                    a = rj_ref[c]                     # [zb+2, gs, W]
-                    return a if dy == 1 else \
-                        pltpu.roll(a, (gs - (dy - 1)) % gs, axis=1)
-
-                jwin = {k: yroll(xj_fields.index(k))
-                        for k in range(nf) if xj_need[k]}
-                if fr_off:
-                    jov = [yroll(RJ_OV + c) for c in range(3)]
-
-                if dy == 0:
-                    geom_y = valid_x & (yrow > 0)
-                elif dy == 2:
-                    geom_y = valid_x & (yrow < gs - 1)
-                else:
-                    geom_y = valid_x
+            def body(t, _):
+                s = t - (2 * C - 1)
+                q = lane + s                   # partner's flat x position
+                dcube = (q + 4 * C) // C - (lane + 4 * C) // C
+                valid_x = (q >= 0) & (q < W) & (dcube >= -1) & (dcube <= 1)
 
                 for dz in (0, 1, 2):
-                    jsl = lambda a: a[dz:dz + zb]
-                    r = unflatten_pt(
-                        [(xi_leaf(k) - jsl(jwin[k])) if xj_need[k]
-                         else zero for k in range(nf)])
-                    dist = jnp.sqrt(r.x * r.x + r.y * r.y + r.z * r.z)
-                    # fold x-window/y-edge validity (and the hoisted
-                    # diagonal) into dist; the position sentinel already
-                    # poisons empty slots and z-halo rows
-                    if dy == 1 and dz == 1:
-                        dist = jnp.where(geom_y & (s != 0), dist,
-                                         X_SENTINEL)
-                    else:
-                        dist = jnp.where(geom_y, dist, X_SENTINEL)
-                    cut = (dist < csize).astype(jnp.float32)
+                    for dy in (0, 1, 2):
+                        def jsl(c):
+                            return rj_ref[c, dz:dz + zb, dy:dy + yb]
 
-                    j_ids = i_ids + jnp.float32(
-                        (dz - 1) * gs * W + (dy - 1) * W) \
-                        + s.astype(jnp.float32)
-                    outs = call_force(pw_off, r, dist, j_ids)
-                    ovj = ([jsl(jov[c]) for c in range(3)]
-                           if fr_off else (zero, zero, zero))
-                    accumulate(outs, cut, ovj)
+                        r = unflatten_pt(
+                            [(xi_leaf(k) - jsl(xj_fields.index(k)))
+                             if xj_need[k] else zero for k in range(nf)])
+                        dist = jnp.sqrt(r.x * r.x + r.y * r.y + r.z * r.z)
+                        # fold x-window validity (and the hoisted diagonal)
+                        # into dist; the position sentinel already poisons
+                        # empty slots and the z/y halo rows
+                        if dy == 1 and dz == 1:
+                            dist = jnp.where(valid_x & (s != 0), dist,
+                                             X_SENTINEL)
+                        else:
+                            dist = jnp.where(valid_x, dist, X_SENTINEL)
+                        cut = (dist < csize).astype(jnp.float32)
 
-            # advance to the next shift: rolled[l] <- rolled[l + 1]
-            rj_ref[...] = pltpu.roll(rj_ref[...], W - 1, axis=3)
-            return 0
+                        j_ids = i_ids + jnp.float32(
+                            ((dz - 1) * (yb + 2) + (dy - 1)) * W) \
+                            + s.astype(jnp.float32)
+                        outs = call_force(pw_off, r, dist, j_ids)
+                        ovj = ([jsl(RJ_OV + c) for c in range(3)]
+                               if fr_off else (zero, zero, zero))
+                        accumulate(outs, cut, ovj)
 
-        jax.lax.fori_loop(0, n_shifts, body, 0)
+                # advance to the next shift: rolled[l] <- rolled[l + 1]
+                rj_ref[...] = pltpu.roll(rj_ref[...], W - 1, axis=3)
+                return 0
 
-    pair_lanes = nz * n_shifts * 9 * zb * gs * W
+            jax.lax.fori_loop(0, n_shifts, body, 0)
+
+    pair_lanes = nz * ny * n_shifts * 9 * zb * yb * W
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nz,),
+            num_scalar_prefetch=2,
+            grid=(nz, ny),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (M, zb, gs, W), lambda zi, *_: (0, zi, 0, 0),
+                (M, zb, yb, W), lambda zi, yi, *_: (0, zi, yi, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((K_i, zb, gs, W), jnp.float32),
-                pltpu.VMEM((K_j, zb + 2, gs, W), jnp.float32),
+                pltpu.VMEM((K_i, zb, yb, W), jnp.float32),
+                pltpu.VMEM((K_j, zb + 2, yb + 2, W), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((M, gs, gs, W), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=pair_lanes * 40, transcendentals=pair_lanes,
             bytes_accessed=(K_i + K_j + M) * gs * gs * W * 4),
         interpret=_interpret(),
-    )(jnp.asarray([cube_size], jnp.float32), A_i, A_j)
+    )(jnp.asarray([cube_size], jnp.float32), act, A_i, A_j)
 
     flat = out.reshape(M, n_slots)
     zeros_flat = jnp.zeros((n_slots,), jnp.float32)
