@@ -22,10 +22,15 @@ n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
 rng = np.random.default_rng(0)
-# half-space slab above the wall plane (wall node = cell 0 at origin)
+# half-space slab above the wall plane (wall node = cell 0 at origin).
+# max_candidates: the Gabriel midpoint test is O(NC^2) per point -- the
+# dominant cost at the reference's fixed 100 (solvers.cuh:525-527).  At
+# this tissue's density ~12 candidates sit within the cutoff, so NC = 32
+# is generous; the in-loop __err_gabriel_candidates flag certifies that
+# no point ever exceeded it (the reference silently overruns instead).
 cells = Solution(Float3, n_cells, cube_size=G.r_max,
                  engine=GabrielEngine(grid_size=64, row_cap=24,
-                                      i_block=2048))
+                                      i_block=2048, max_candidates=32))
 n_pad = cells.n_pad
 side = int(np.ceil((2 * n_cells) ** (1 / 3)))
 g = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"),
@@ -44,13 +49,13 @@ prot = Links(n_cells, G.protrusion_strength, seed=15)
 prot.set_d_n(cells.h_n)
 gen = link_wall_forces(prot, G.WALL)
 
-aux = cells.take_step(G.dt, G.relu_force, pw_friction=G.wall_friction,
-                      gen_forces=gen)
+# warm-up + compile (fused scan: one dispatch for all steps)
+cells.take_steps(n_steps, G.dt, G.relu_force,
+                 pw_friction=G.wall_friction, gen_forces=gen)
 _ = float(np.asarray(cells.d_X.x)[0])
 t0 = time.perf_counter()
-for _ in range(n_steps):
-    cells.take_step(G.dt, G.relu_force, pw_friction=G.wall_friction,
-                    gen_forces=gen)
+cells.take_steps(n_steps, G.dt, G.relu_force,
+                 pw_friction=G.wall_friction, gen_forces=gen)
 _ = float(np.asarray(cells.d_X.x)[0])
 dt = time.perf_counter() - t0
 n = cells.h_n

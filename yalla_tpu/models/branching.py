@@ -94,10 +94,11 @@ def make_force(p: Params):
         fx, fy, fz = r.x * w, r.y * w, r.z * w
 
         # Diffusion between epithelial pairs; v also leaks into the
-        # mesenchyme to license proliferation (branching.cu:91-103)
+        # mesenchyme to license proliferation (branching.cu:91-103).
+        # The v gate simplifies: epi_pair | (near & ~epi) == near.
         epi_pair = near & (both == 1.0)
         du = jnp.where(epi_pair, -p.D_u * r.u, 0.0)
-        dv = jnp.where(epi_pair | (near & (both != 1.0)), -p.D_v * r.v, 0.0)
+        dv = jnp.where(near, -p.D_v * r.v, 0.0)
         # The reference clamps u/v only in the epithelium-epithelium branch
         # (branching.cu:92-103); mesenchymal v uptake passes unclamped.
         du = jnp.where(epi_pair & (-du > Xi.u), 0.0, du)
@@ -128,16 +129,26 @@ def make_force(p: Params):
         dF = Cell(x=fx, y=fy, z=fz, theta=dth, phi=dph, u=du, v=dv,
                   ctype=zero)
         Xj_epi = Xi.ctype - r.ctype
+        # only the epithelial count rides the hot loop when the friction
+        # gate coincides with ``near`` (r_max == 1, the default): the
+        # mesenchymal count is then derived post-pass as
+        # sum_friction - epi_nbs (friction_w_neighbour counts i != j and
+        # dist < 1, ref solvers.cuh:27-35 / branching.cu:82)
         aux = {
             "epi_nbs": jnp.where(near & (Xj_epi == EPITHELIUM), 1.0, 0.0),
-            "mes_nbs": jnp.where(near & (Xj_epi == MESENCHYME), 1.0, 0.0),
         }
+        if p.r_max != 1.0:
+            aux["mes_nbs"] = jnp.where(near & (Xj_epi == MESENCHYME),
+                                       1.0, 0.0)
         return dF, aux
 
     def force(Xi, r, dist, i, j):
         return body(Xi, r, dist, i, j, True)
 
     force.offdiag = lambda Xi, r, dist, i, j: body(Xi, r, dist, i, j, False)
+    if p.r_max == 1.0:
+        force.derive_aux = {
+            "mes_nbs": lambda aux, sum_f: sum_f - aux["epi_nbs"]}
     return force
 
 

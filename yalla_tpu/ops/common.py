@@ -28,6 +28,7 @@ __all__ = [
     "friction_w_neighbour",
     "friction_on_background",
     "evaluate_pairs",
+    "apply_derived_aux",
     "mask_tree",
     "cube_coord",
     "cube_ids",
@@ -99,6 +100,25 @@ def split_force_output(out):
             and len(out) == 2 and isinstance(out[1], dict)):
         return out
     return out, {}
+
+
+def apply_derived_aux(pw_int, aux, sum_f):
+    """Aux channels recovered from other per-cell sums AFTER the pair pass.
+
+    A force may declare ``pw_int.derive_aux = {name: fn(aux, sum_f)}`` to
+    drop an accumulator from the hot loop when its value is recoverable --
+    e.g. the branching model's mesenchymal neighbour count is
+    ``sum_friction - epi_nbs`` whenever the friction gate coincides with
+    the force's ``near`` gate (``friction_w_neighbour`` at r_max = 1, ref
+    solvers.cuh:27-35).  Called once per pairwise pass by every engine
+    path, after the sums exist."""
+    der = getattr(pw_int, "derive_aux", None)
+    if not der:
+        return aux
+    out = dict(aux)
+    for k, fn in der.items():
+        out[k] = fn(aux, sum_f)
+    return out
 
 
 def evaluate_pairs(pw_int, pw_friction, Xi, Xj, old_v_j, i, j, pair_mask,

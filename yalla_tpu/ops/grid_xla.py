@@ -222,10 +222,12 @@ def gabriel_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
         cand = valid & (dist < cube_size)
         n_cand = jnp.sum(cand, axis=1)  # per point, before the NC cap
 
-        # Sort candidates by distance (invalid -> +inf) and keep only the
-        # NC nearest (ref solvers.cuh:525-527, 549-566)
+        # NC nearest candidates (invalid -> +inf): top_k on the negated
+        # key replaces a full [B, K] argsort -- the reference
+        # selection-sorts a fixed 100-entry array (solvers.cuh:549-566),
+        # but only the NC nearest ever matter
         sort_key = jnp.where(cand, dist, jnp.inf)
-        sort_ord = jnp.argsort(sort_key, axis=1)[:, :NC]
+        _, sort_ord = jax.lax.top_k(-sort_key, NC)
         take = lambda a: jnp.take_along_axis(a, sort_ord, axis=1)
         jidx_s, cand_s, dist_s = take(jidx), take(cand), take(dist)
         xj_s, yj_s, zj_s = take(xj), take(yj), take(zj)
@@ -246,7 +248,10 @@ def gabriel_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
         keep = cand_s & (is_self | ~blocked)
 
         Xi = jax.tree.map(lambda a: blk(a)[:, None], X)
+        # positions were already gathered above; only the remaining
+        # fields pay a [B, NC] gather here
         Xj = jax.tree.map(lambda a: a[jidx_s], X)
+        Xj = Xj.replace(x=xj_s, y=yj_s, z=zj_s)
         ovj = (old_v.x[jidx_s], old_v.y[jidx_s], old_v.z[jidx_s])
         out = evaluate_pairs(pw_int, pw_friction, Xi, Xj, ovj, i_arr, jidx_s,
                              keep, sum_axes=(1,))

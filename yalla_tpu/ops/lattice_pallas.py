@@ -76,6 +76,82 @@ def _interpret():
 from .common import split_force_output as _split_probe
 
 
+def _extras_tables(layout, t_fields, with_ov, nz, ny, zb, yb,
+                   cube_size, grid_size, block_cap):
+    """Per-(z, y)-block sidecar tables for the overflow extras.
+
+    Each extra is assigned to every block whose cube range intersects the
+    extra's +-1-cube neighbourhood in z and y (at most 2 x 2 distinct
+    blocks) -- exactly the blocks whose *interior* lattice cells can sit
+    within one cube size of it.  Pairs are therefore counted once: a
+    lattice cell j belongs to the interior of exactly one block, and the
+    extra is tabled in that block iff j can be in range.
+
+    Returns (ids [n_blocks, block_cap] int32 with E_cap = empty,
+    channels [n_blocks, block_cap, 128] f32 with X_SENTINEL-poisoned x for
+    empty entries, block_overflow scalar).
+    """
+    from .common import cube_coord
+    E, Eov, epid = layout.E, layout.Eov, layout.epid
+    E_cap = epid.shape[0]
+    n_pad = layout.slot_of.shape[0]
+    n_blocks = nz * ny
+    live = epid < n_pad
+
+    cz = cube_coord(E.z, cube_size, grid_size)
+    cy = cube_coord(E.y, cube_size, grid_size)
+    z_lo = jnp.clip((cz - 1) // zb, 0, nz - 1)
+    z_hi = jnp.clip((cz + 1) // zb, 0, nz - 1)
+    y_lo = jnp.clip((cy - 1) // yb, 0, ny - 1)
+    y_hi = jnp.clip((cy + 1) // yb, 0, ny - 1)
+
+    eidx = jnp.arange(E_cap, dtype=jnp.int32)
+    blocks, valids = [], []
+    for a, zi in ((0, z_lo), (1, z_hi)):
+        for b, yi in ((0, y_lo), (1, y_hi)):
+            dup = jnp.zeros((E_cap,), bool)
+            if a == 1:
+                dup = dup | (z_hi == z_lo)
+            if b == 1:
+                dup = dup | (y_hi == y_lo)
+            blocks.append(zi * ny + yi)
+            valids.append(live & ~dup)
+    bid = jnp.where(jnp.stack(valids), jnp.stack(blocks),
+                    n_blocks).reshape(-1)            # [4 * E_cap]
+    ex = jnp.tile(eidx, 4)
+
+    # rank within block via sort + segment starts
+    sbid, sex = jax.lax.sort((bid, ex), num_keys=1)
+    iota = jnp.arange(bid.shape[0], dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones(1, bool), sbid[1:] != sbid[:-1]])
+    rank = iota - jax.lax.cummax(jnp.where(first, iota, 0))
+    ok = (rank < block_cap) & (sbid < n_blocks)
+    tbl_slot = jnp.where(ok, sbid * block_cap + rank,
+                         n_blocks * block_cap)
+    ids = jnp.full(n_blocks * block_cap, E_cap, jnp.int32) \
+        .at[tbl_slot].set(sex, mode="drop", unique_indices=True) \
+        .reshape(n_blocks, block_cap)
+    block_overflow = jnp.sum((rank >= block_cap) & (sbid < n_blocks)) \
+        .astype(jnp.float32)
+
+    # channel table: gather the few extras' fields; empty entries keep a
+    # sentinel x so both kernel evals see an out-of-cutoff partner
+    leaves = jax.tree.leaves(E)
+    pick = jnp.minimum(ids, E_cap - 1)
+    present = ids < E_cap
+    cols = []
+    for k in t_fields:
+        v = leaves[k][pick]
+        if k == 0:
+            v = jnp.where(present & live[pick], v, X_SENTINEL)
+        cols.append(v)
+    if with_ov:
+        cols += [Eov.x[pick], Eov.y[pick], Eov.z[pick]]
+    chan = jnp.stack(cols, axis=-1)        # [n_blocks, block_cap, K_t]
+    chan = jnp.pad(chan, ((0, 0), (0, 0), (0, 128 - chan.shape[-1])))
+    return ids, chan, block_overflow
+
+
 def _var_key(v):
     return id(v)
 
@@ -105,12 +181,25 @@ def _dependence(closed_jaxpr):
     return out_tainted, in_live
 
 
+# default y-block height (cube rows per Pallas grid block); 16 amortizes
+# the per-block DMA/roll overheads while keeping useful empty-block
+# granularity.  Overridable per call via ``y_block``.
+DEFAULT_Y_BLOCK = 16
+
+
 def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
-                            grid_size, capacity, z_block, y_block=8):
+                            grid_size, capacity, z_block, y_block=None,
+                            extras_block_cap=16, grid_z=None, n_pad=None,
+                            z_halo=None):
     """Pairwise sums in lattice layout on the TPU VPU (see module docs).
 
     Returns (F (dF-typed tree), sum_friction, sum_v 3-tuple, aux dict),
     all ``[n_slots]`` -- identical to ``lattice_pairwise_resident``.
+    If the layout carries overflow extras (``lattice_build`` with
+    ``extras_cap > 0``), a fifth element is returned: the same 4-tuple in
+    ``[extras_cap]`` order for the extras themselves (their self/diagonal
+    and extras-extras pairs included), so the lattice capacity can sit at
+    the TYPICAL cube occupancy while the worst cubes spill exactly.
 
     The Pallas grid is blocked in BOTH z and y (``z_block`` x ``y_block``
     cube blocks, full x rows).  The j-side slab is DMA'd *with its y and z
@@ -122,18 +211,36 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
     tissue ball occupies ~40% of its bounding lattice; empty blocks still
     contribute their halo rows to neighbours via the j-side DMA, so the
     skip is physics-exact).
+
+    Multi-chip z-slab mode (``parallel/lattice_spmd.py``): ``grid_z`` is
+    the LOCAL z extent (< grid_size) and ``z_halo`` supplies the
+    ppermute-exchanged neighbour planes as
+    ``(lo_leaves, hi_leaves, lo_ov, hi_ov, lo_occ, hi_occ)`` -- leaf lists
+    / Float3 planes / occupancy planes, each ``[gs * W]``-shaped.  The
+    j-side array is then built with REAL halo planes at its z ends instead
+    of the single-chip sentinel padding, so multi-chip inherits the
+    single-chip kernel unchanged.  ``n_pad`` overrides the empty-slot
+    sentinel when no ``slot_of`` is at hand (inside shard_map).
     """
     gs, C = grid_size, capacity
+    gz = grid_z if grid_z is not None else grid_size
     n_slots = layout.pid.shape[0]
-    n_pad = layout.slot_of.shape[0]
+    if n_pad is None:
+        n_pad = layout.slot_of.shape[0]
     W = gs * C
     assert W % 128 == 0, "gs * capacity must be a multiple of 128 lanes"
     zb = z_block
-    assert gs % zb == 0
-    nz = gs // zb
-    yb = min(y_block, gs)
+    assert gz % zb == 0
+    nz = gz // zb
+    # y blocks must be multiples of 8: HBM DMA slices are 8-aligned in the
+    # sublane dim, so blocks start on 8-row boundaries
+    if y_block is None:
+        y_block = DEFAULT_Y_BLOCK
+    yb = max((y_block // 8) * 8, 8)
     while gs % yb:
-        yb -= 1
+        yb -= 8
+    assert yb >= 8 and gs % yb == 0, \
+        "grid_size must be a multiple of 8 for the Pallas kernel"
     ny = gs // yb
     # block-local slot ids ride f32 lanes; they (plus the largest window
     # offset) must stay exactly representable
@@ -239,21 +346,55 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
 
     def stack_i(chs):
         # i-side needs no halo: blocks slice it exactly
-        return jnp.stack([c.reshape(gs, gs, W) for c in chs])
+        return jnp.stack([c.reshape(gz, gs, W) for c in chs])
 
-    def stack_j(chs):
-        # one halo plane each side in BOTH z and y (the block DMA windows);
-        # the position sentinel in the pad poisons out-of-grid partners
+    def stack_j(chs, halos=None):
+        # one z-halo plane each side plus EIGHT y-halo rows each side: HBM
+        # slices must be 8-aligned in the sublane (y) dim, so the j-block
+        # DMA fetches an aligned 8 + yb + 8 row window and the kernel
+        # addresses the real +-1 halo at static offset 7.  The position
+        # sentinel in the pad poisons out-of-grid partners.  In z-slab
+        # mode the z pads carry the EXCHANGED neighbour planes instead.
         outs = []
         for idx, c in enumerate(chs):
             fill = X_SENTINEL if idx == 0 else 0.0
-            outs.append(jnp.pad(c.reshape(gs, gs, W),
-                                ((1, 1), (1, 1), (0, 0)),
-                                constant_values=fill))
+            a = c.reshape(gz, gs, W)
+            if halos is not None:
+                lo, hi = halos[idx]
+                a = jnp.concatenate([lo.reshape(1, gs, W), a,
+                                     hi.reshape(1, gs, W)], axis=0)
+                a = jnp.pad(a, ((0, 0), (8, 8), (0, 0)),
+                            constant_values=fill)
+            else:
+                a = jnp.pad(a, ((1, 1), (8, 8), (0, 0)),
+                            constant_values=fill)
+            outs.append(a)
         return jnp.stack(outs)
 
-    A_i = stack_i(xi_channels)        # [K_i, gs, gs, W]
-    A_j = stack_j(rj_channels)        # [K_j, gs+2, gs+2, W]
+    A_i = stack_i(xi_channels)        # [K_i, gz, gs, W]
+    if z_halo is not None:
+        lo_l, hi_l, lo_ov3, hi_ov3, lo_occ, hi_occ = z_halo
+        lo_p = [jnp.where(lo_occ, lo_l[0], X_SENTINEL)] + list(lo_l[1:])
+        hi_p = [jnp.where(hi_occ, hi_l[0], X_SENTINEL)] + list(hi_l[1:])
+        halos = [(lo_p[k], hi_p[k]) for k in xj_fields] \
+            + ([(lo_ov3[c], hi_ov3[c]) for c in range(3)]
+               if fr_off else [])
+        A_j = stack_j(rj_channels, halos)  # [K_j, gz+2, gs+16, W]
+    else:
+        A_j = stack_j(rj_channels)        # [K_j, gz+2, gs+16, W]
+
+    # ---- overflow-extras sidecar tables -----------------------------------
+    has_extras = getattr(layout, "E", None) is not None
+    E_b = max((extras_block_cap // 8) * 8, 8)
+    t_fields = [k for k in range(nf) if xi_need[k] or xj_need[k]]
+    tcol = {k: i for i, k in enumerate(t_fields)}
+    T_OV = len(t_fields)
+    if has_extras:
+        ids_tbl, chan_tbl, block_over = _extras_tables(
+            layout, t_fields, have_fr, nz, ny, zb, yb,
+            cube_size, gs, E_b)
+    else:
+        chan_tbl = jnp.zeros((nz * ny, E_b, 128), jnp.float32)
 
     # per-block i-side occupancy: blocks with no live slot skip the whole
     # offset loop (their sentinel i-lanes would only accumulate garbage
@@ -262,11 +403,17 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
     act = occ.reshape(nz, zb, ny, yb * W).any(axis=(1, 3))
     act = act.reshape(-1).astype(jnp.int32)
 
-    def kernel(scal_ref, act_ref, Ai_hbm, Aj_hbm, out_ref, xi_ref, rj_ref,
-               sems):
+    def kernel(scal_ref, act_ref, *refs):
+        if has_extras:
+            (Ai_hbm, Aj_hbm, Et_hbm, out_ref, out2_ref,
+             xi_ref, rj_ref, et_ref, sems) = refs
+        else:
+            Ai_hbm, Aj_hbm, out_ref, xi_ref, rj_ref, sems = refs
         zi = pl.program_id(0)
         yi = pl.program_id(1)
         out_ref[...] = jnp.zeros((M,) + shape, jnp.float32)
+        if has_extras:
+            out2_ref[...] = jnp.zeros((E_b, 128), jnp.float32)
 
         @pl.when(act_ref[zi * ny + yi] > 0)
         def _active_block():
@@ -275,10 +422,16 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                 Ai_hbm.at[:, pl.ds(zi * zb, zb), pl.ds(yi * yb, yb)],
                 xi_ref, sems.at[0])
             cp_j = pltpu.make_async_copy(
-                Aj_hbm.at[:, pl.ds(zi * zb, zb + 2), pl.ds(yi * yb, yb + 2)],
+                Aj_hbm.at[:, pl.ds(zi * zb, zb + 2),
+                          pl.ds(yi * yb, yb + 16)],
                 rj_ref, sems.at[1])
             cp_i.start()
             cp_j.start()
+            if has_extras:
+                cp_e = pltpu.make_async_copy(
+                    Et_hbm.at[zi * ny + yi], et_ref, sems.at[2])
+                cp_e.start()
+                cp_e.wait()
             cp_i.wait()
             cp_j.wait()
 
@@ -331,6 +484,72 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                         if fr_diag else (zero, zero, zero))
                 accumulate(outs, None, ov_i)
 
+            # --- overflow extras (before the pre-roll: uses the unshifted
+            # centre window).  Each tabled extra is evaluated BOTH ways
+            # against this block's interior lattice cells: as the j-partner
+            # of every lattice lane (accumulated into out_ref like any
+            # offset window) and as the i-point receiving force from them
+            # (reduced to per-extra scalars in out2).  Interior-only j's
+            # guarantee each (cell, extra) pair is counted exactly once
+            # across the <= 4 blocks an extra is tabled in.
+            if has_extras:
+                def jcen(c):
+                    return rj_ref[c, 1:1 + zb, 8:8 + yb]
+
+                lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+                for e in range(E_b):
+                    # (1, 1) reads reshaped for rank-3 broadcast (Mosaic
+                    # has no scalar VMEM access; a one-lane vreg
+                    # broadcasts fine)
+                    def ecol(c):
+                        return et_ref[e:e + 1, c:c + 1].reshape(1, 1, 1)
+
+                    xe = {k: ecol(tcol[k]) for k in t_fields}
+                    r1_leaves = [
+                        (jcen(xj_fields.index(k)) - xe[k])
+                        if xj_need[k] else zero for k in range(nf)]
+                    r1 = unflatten_pt(r1_leaves)
+                    d1 = jnp.sqrt(r1.x * r1.x + r1.y * r1.y
+                                  + r1.z * r1.z)
+                    cut_e = (d1 < csize).astype(jnp.float32)
+                    e_id = jnp.float32(-(e + 1))
+
+                    # lattice i <- extra j
+                    outs1 = call_force(pw_off, r1, d1, e_id)
+                    ovj1 = tuple(ecol(T_OV + c) for c in range(3)) \
+                        if have_fr else (zero, zero, zero)
+                    accumulate(outs1, cut_e, ovj1)
+
+                    # extra i <- lattice j, reduced to one (1, 128) row
+                    # per extra: lane m of the row carries accumulator m
+                    # (Mosaic cannot store scalars to VMEM)
+                    Xe_pt = unflatten_pt(
+                        [xe[k] if k in tcol else 0.0 for k in range(nf)])
+                    r2 = unflatten_pt(
+                        [-r1_leaves[k] if xj_need[k] else zero
+                         for k in range(nf)])
+                    dF2, aux2 = _split_probe(
+                        pw_off(Xe_pt, r2, d1, e_id, i_ids))
+                    outs2 = (jax.tree.leaves(dF2)
+                             + [pw_friction(Xe_pt, r2, d1, e_id, i_ids)]
+                             + [aux2[k] for k in aux_keys])
+                    row = jnp.zeros((1, 128), jnp.float32)
+                    for o, acc in acc_of_out.items():
+                        s = jnp.sum(jnp.broadcast_to(outs2[o], shape)
+                                    * cut_e)
+                        row = row + jnp.where(lane128 == acc, s, 0.0)
+                    if have_fr:
+                        fr2 = jnp.broadcast_to(outs2[n_dF], shape) * cut_e
+                        row = row + jnp.where(lane128 == SUMF,
+                                              jnp.sum(fr2), 0.0)
+                        if fr_off:
+                            for c in range(3):
+                                row = row + jnp.where(
+                                    lane128 == SUMV + c,
+                                    jnp.sum(fr2 * jcen(RJ_OV + c)), 0.0)
+                    out2_ref[e:e + 1, :] = row
+
             # --- 9 x (4C - 1) offset loop ----------------------------------
             # j-block pre-rolled so iteration t sees shift s = t - (2C - 1):
             # rolled[l] = orig[l + s].  The (dz, dy) windows are free static
@@ -346,7 +565,10 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                 for dz in (0, 1, 2):
                     for dy in (0, 1, 2):
                         def jsl(c):
-                            return rj_ref[c, dz:dz + zb, dy:dy + yb]
+                            # real y halo sits at rows [7, 8 + yb + 1) of
+                            # the aligned 24-row fetch window
+                            return rj_ref[c, dz:dz + zb,
+                                          7 + dy:7 + dy + yb]
 
                         r = unflatten_pt(
                             [(xi_leaf(k) - jsl(xj_fields.index(k)))
@@ -377,41 +599,87 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
             jax.lax.fori_loop(0, n_shifts, body, 0)
 
     pair_lanes = nz * ny * n_shifts * 9 * zb * yb * W
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY)]
+    out_specs = [pl.BlockSpec((M, zb, yb, W),
+                              lambda zi, yi, *_: (0, zi, yi, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((M, gz, gs, W), jnp.float32)]
+    scratch = [pltpu.VMEM((K_i, zb, yb, W), jnp.float32),
+               pltpu.VMEM((K_j, zb + 2, yb + 16, W), jnp.float32)]
+    operands = [A_i, A_j]
+    if has_extras:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(chan_tbl)
+        out_specs.append(pl.BlockSpec(
+            (None, E_b, 128), lambda zi, yi, *_: (zi * ny + yi, 0, 0),
+            memory_space=pltpu.VMEM))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nz * ny, E_b, 128), jnp.float32))
+        scratch.append(pltpu.VMEM((E_b, 128), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((3 if has_extras else 2,)))
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nz, ny),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(
-                (M, zb, yb, W), lambda zi, yi, *_: (0, zi, yi, 0),
-                memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((K_i, zb, yb, W), jnp.float32),
-                pltpu.VMEM((K_j, zb + 2, yb + 2, W), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((M, gs, gs, W), jnp.float32),
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=pair_lanes * 40, transcendentals=pair_lanes,
-            bytes_accessed=(K_i + K_j + M) * gs * gs * W * 4),
+            bytes_accessed=(K_i + K_j + M) * gz * gs * W * 4),
         interpret=_interpret(),
-    )(jnp.asarray([cube_size], jnp.float32), act, A_i, A_j)
+    )(jnp.asarray([cube_size], jnp.float32), act, *operands)
 
-    flat = out.reshape(M, n_slots)
-    zeros_flat = jnp.zeros((n_slots,), jnp.float32)
+    flat = out[0].reshape(M, n_slots)
 
-    def out_slot(o):
-        return flat[acc_of_out[o]] if o in acc_of_out else zeros_flat
+    def unpack(flat_rows, zeros_like):
+        def out_slot(o):
+            return flat_rows[acc_of_out[o]] if o in acc_of_out \
+                else zeros_like
+        F = jax.tree.unflatten(dF_tree, [out_slot(o) for o in range(n_dF)])
+        sum_f = flat_rows[SUMF] if have_fr else zeros_like
+        sum_v = tuple(flat_rows[SUMV + c] for c in range(3)) if have_fr \
+            else (zeros_like,) * 3
+        aux = {k: out_slot(n_dF + 1 + i) for i, k in enumerate(aux_keys)}
+        return F, sum_f, sum_v, aux
 
-    F = jax.tree.unflatten(dF_tree, [out_slot(o) for o in range(n_dF)])
-    sum_f = flat[SUMF] if have_fr else zeros_flat
-    sum_v = tuple(flat[SUMV + c] for c in range(3)) if have_fr \
-        else (zeros_flat,) * 3
-    aux = {k: out_slot(n_dF + 1 + i) for i, k in enumerate(aux_keys)}
-    return F, sum_f, sum_v, aux
+    F, sum_f, sum_v, aux = unpack(flat, jnp.zeros((n_slots,), jnp.float32))
+    if not has_extras:
+        return F, sum_f, sum_v, aux
+
+    # ---- merge the per-block extra reductions + extras-extras pairs ------
+    E_cap = layout.epid.shape[0]
+    ids_flat = ids_tbl.reshape(-1)
+    o2 = out[1].reshape(-1, 128)
+    esums = jnp.zeros((E_cap + 1, 128), jnp.float32) \
+        .at[ids_flat].add(o2)[:E_cap]           # empty entries -> bucket -1
+    Fe, sum_fe, sum_ve, aux_e = unpack(
+        [esums[:, m] for m in range(M)], jnp.zeros((E_cap,), jnp.float32))
+
+    # extras-extras pairs (incl. the i == j diagonal/reaction terms, which
+    # the kernel's hoisted self-pair only covers for lattice slots)
+    from .common import evaluate_pairs
+    live = layout.epid < n_pad
+    ids_e = jnp.arange(E_cap, dtype=jnp.int32)
+    Xi_e = jax.tree.map(lambda a: a[:, None], layout.E)
+    Xj_e = jax.tree.map(lambda a: a[None, :], layout.E)
+    ov_e = (layout.Eov.x[None, :], layout.Eov.y[None, :],
+            layout.Eov.z[None, :])
+    F2, sf2, sv2, aux2 = evaluate_pairs(
+        pw_int, pw_friction, Xi_e, Xj_e, ov_e,
+        ids_e[:, None], ids_e[None, :],
+        live[:, None] & live[None, :], sum_axes=(1,), cutoff=cube_size)
+    Fe = jax.tree.map(jnp.add, Fe, F2)
+    sum_fe = sum_fe + sf2
+    sum_ve = tuple(a + b for a, b in zip(sum_ve, sv2))
+    aux_e = {k: aux_e[k] + aux2.get(k, 0.0) for k in aux_e}
+    aux_e["__err_extras_block"] = block_over
+    return F, sum_f, sum_v, aux, (Fe, sum_fe, sum_ve, aux_e)

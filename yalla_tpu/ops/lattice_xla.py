@@ -70,13 +70,23 @@ class LatticeLayout(NamedTuple):
     n_oob: jnp.ndarray      # int32: points clipped into edge cubes (out of
     #                         grid -- mis-binned; ref D_ASSERTs instead,
     #                         solvers.cuh:361-364)
+    # ---- overflow extras (optional; extras_cap > 0 in lattice_build) ----
+    # Cells past a cube's capacity go to a small side list instead of being
+    # dropped, so the dense lattice can run at a capacity near the TYPICAL
+    # occupancy instead of the worst cube's (kernel cost ~ C^2): the Pallas
+    # kernel folds extras into its pair pass via per-block sidecar tables.
+    E: object = None        # Pt of f32[extras_cap]
+    Eov: object = None      # Float3 of f32[extras_cap]
+    epid: jnp.ndarray | None = None  # int32[extras_cap]; n_pad = empty
+    n_extras: jnp.ndarray | None = None
 
 
 from .common import cube_ids as _cube_ids
 from .common import out_of_grid_mask as _oob_mask
 
 
-def lattice_build(X, old_v, n, cube_size, grid_size, capacity):
+def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
+                  extras_cap=0):
     """Sort by cube id and pour points into the dense lattice.
 
     Random-access-minimal construction (XLA:TPU gathers/scatters run at
@@ -85,7 +95,12 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity):
     network moves payloads vectorized), and the sorted values land in
     their slots with one n_pad-sized unique-index scatter per channel --
     ~n_pad random accesses per channel instead of ~n_slots + n_pad
-    (measured 3.5x faster at 500k cells, C = 8)."""
+    (measured 3.5x faster at 500k cells, C = 8).
+
+    ``extras_cap > 0`` diverts cells past a cube's capacity into the
+    ``E``/``Eov``/``epid`` side list (in sorted order) instead of
+    dropping them; only cells overflowing the side list too count as
+    ``n_dropped``."""
     n_pad = X.x.shape[0]
     gs, C = grid_size, capacity
     n_cubes = gs * gs * gs
@@ -122,9 +137,29 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity):
     pid = pour(order, n_pad)
     slot_of = jnp.full(n_pad, n_slots, jnp.int32) \
         .at[order].set(slot_sorted, mode="drop", unique_indices=True)
-    n_dropped = jnp.sum((rank >= C) & (sorted_cid < n_cubes))
+
+    over = (rank >= C) & (sorted_cid < n_cubes)
+    if not extras_cap:
+        n_dropped = jnp.sum(over)
+        return LatticeLayout(T=T, Tov=Tov, pid=pid, slot_of=slot_of,
+                             n_dropped=n_dropped, n_oob=n_oob)
+
+    e_idx = jnp.cumsum(over) - 1          # position among overflow cells
+    e_ok = over & (e_idx < extras_cap)
+    e_slot = jnp.where(e_ok, e_idx, extras_cap).astype(jnp.int32)
+
+    def pour_e(sorted_a, fill=0.0):
+        return jnp.full(extras_cap, fill, sorted_a.dtype) \
+            .at[e_slot].set(sorted_a, mode="drop", unique_indices=True)
+
+    E = jax.tree.unflatten(tree_X, [pour_e(v) for v in sorted_vals[:nx]])
+    Eov = jax.tree.unflatten(tree_ov, [pour_e(v) for v in sorted_vals[nx:]])
+    epid = pour_e(order, n_pad)
+    n_dropped = jnp.sum(over & ~e_ok)
     return LatticeLayout(T=T, Tov=Tov, pid=pid, slot_of=slot_of,
-                         n_dropped=n_dropped, n_oob=n_oob)
+                         n_dropped=n_dropped, n_oob=n_oob,
+                         E=E, Eov=Eov, epid=epid,
+                         n_extras=jnp.sum(e_ok, dtype=jnp.int32))
 
 
 def lattice_unbuild(layout: LatticeLayout, X, old_v):
@@ -142,6 +177,11 @@ def lattice_unbuild(layout: LatticeLayout, X, old_v):
     G = jnp.stack(leaves_T + leaves_ov)[:, pick]   # [K, n_pad]
     olds = jax.tree.leaves(X) + jax.tree.leaves(old_v)
     outs = [jnp.where(ok, G[k], old) for k, old in enumerate(olds)]
+    if layout.epid is not None:
+        # overflow extras scatter back through their own stable ids
+        epid = layout.epid
+        evals = jax.tree.leaves(layout.E) + jax.tree.leaves(layout.Eov)
+        outs = [a.at[epid].set(v, mode="drop") for a, v in zip(outs, evals)]
     nx = len(leaves_T)
     return (jax.tree.unflatten(tree_T, outs[:nx]),
             jax.tree.unflatten(tree_ov, outs[nx:]))
@@ -292,12 +332,14 @@ def pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid, cube_size, *,
             {k: flat(v) for k, v in aux.items()})
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 14, 15, 16))
+@partial(jax.jit,
+         static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 14, 15, 16, 19, 20))
 def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                        grid_size, capacity, z_block,
                        X, old_v, n, dt, cube_size, fix_point,
                        precompute=None, pallas=False, gen=None,
-                       gen_args=None, force_r_max=None):
+                       gen_args=None, force_r_max=None,
+                       extras_cap=0, extras_block_cap=16):
     """``n_steps`` Heun steps with lattice-resident state.
 
     Same integration semantics as ``solvers.heun_steps`` (COM/point fixes,
@@ -326,21 +368,34 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
     """
     assert n_steps % rebuild_every == 0
     gs, C = grid_size, capacity
+    if extras_cap:
+        assert pallas, "overflow extras require the Pallas kernel"
+        assert gen is None, \
+            "generic forces do not compose with overflow extras yet"
     occ_of = lambda lay: lay.pid < lay.slot_of.shape[0]
 
-    def deriv(lay, T, n):
+    def deriv(lay, T, n, E=None):
+        """Derivative in slot space; when overflow extras are enabled the
+        extras' derivative (same physics, kernel sidecar + extras-extras
+        pass) is returned alongside."""
         from ..solvers import augment, truncate_aug
         orig_type = type(T)
         # derived per-point fields computed in slot layout (cheap,
         # garbage in empty slots is masked by occupancy)
         lay = lay._replace(T=augment(T, n, precompute))
+        if E is not None:
+            lay = lay._replace(E=augment(E, n, precompute))
         if pallas:
-            from .lattice_pallas import lattice_pairwise_pallas as pair_fn
+            from .lattice_pallas import lattice_pairwise_pallas
+            pair_fn = partial(lattice_pairwise_pallas,
+                              extras_block_cap=extras_block_cap)
         else:
             pair_fn = lattice_pairwise_resident
-        F, sum_f, sum_v, aux = pair_fn(
-            pw_int, pw_friction, lay, n, cube_size,
-            grid_size=gs, capacity=C, z_block=z_block)
+        outs = pair_fn(pw_int, pw_friction, lay, n, cube_size,
+                       grid_size=gs, capacity=C, z_block=z_block)
+        F, sum_f, sum_v, aux = outs[:4]
+        from .common import apply_derived_aux
+        aux = apply_derived_aux(pw_int, aux, sum_f)
         F = truncate_aug(F, orig_type)
         if gen is not None:
             ok = lay.slot_of < lay.pid.shape[0]
@@ -354,34 +409,62 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                 upd[f] = getattr(F, f).at[lay.slot_of].add(
                     g, mode="drop", unique_indices=True)
             F = F.replace(**upd)
-        inv = jnp.where(sum_f > 0, 1.0 / jnp.where(sum_f > 0, sum_f, 1.0),
-                        0.0)
-        dX = F.replace(x=F.x + sum_v[0] * inv,
-                       y=F.y + sum_v[1] * inv,
-                       z=F.z + sum_v[2] * inv)
+
+        def mix(F, sum_f, sum_v):
+            inv = jnp.where(sum_f > 0,
+                            1.0 / jnp.where(sum_f > 0, sum_f, 1.0), 0.0)
+            return F.replace(x=F.x + sum_v[0] * inv,
+                             y=F.y + sum_v[1] * inv,
+                             z=F.z + sum_v[2] * inv)
+
         occ = occ_of(lay)
-        dX = mask_tree(dX, occ)
-        n_occ = jnp.sum(occ)
+        dX = mask_tree(mix(F, sum_f, sum_v), occ)
+        elive = None
+        aux_e = None
+        dXe = None
+        if E is not None:
+            Fe, sum_fe, sum_ve, aux_e = outs[4]
+            aux_e = apply_derived_aux(pw_int, aux_e, sum_fe)
+            Fe = truncate_aug(Fe, orig_type)
+            elive = lay.epid < lay.slot_of.shape[0]
+            dXe = mask_tree(mix(Fe, sum_fe, sum_ve), elive)
 
-        def com(a):
-            return jnp.sum(jnp.where(occ, a, 0.0)) / jnp.maximum(n_occ, 1)
+        n_occ = jnp.sum(occ) + (jnp.sum(elive) if E is not None else 0)
 
-        def at_point(a):
-            # value at the pinned stable id's slot
-            sel = lay.pid == fix_point
-            return jnp.sum(jnp.where(sel, a, 0.0))
+        def com(a, ae=None):
+            s = jnp.sum(jnp.where(occ, a, 0.0))
+            if ae is not None:
+                s = s + jnp.sum(jnp.where(elive, ae, 0.0))
+            return s / jnp.maximum(n_occ, 1)
 
+        def at_point(a, ae=None):
+            # value at the pinned stable id's slot (or extras entry)
+            s = jnp.sum(jnp.where(lay.pid == fix_point, a, 0.0))
+            if ae is not None:
+                s = s + jnp.sum(jnp.where(lay.epid == fix_point, ae, 0.0))
+            return s
+
+        de = (lambda f: getattr(dXe, f)) if E is not None \
+            else (lambda f: None)
         if fix_mode == "com":
-            fx, fy, fz = com(dX.x), com(dX.y), com(dX.z)
+            fx, fy, fz = (com(dX.x, de("x")), com(dX.y, de("y")),
+                          com(dX.z, de("z")))
         elif fix_mode == "point":
-            fx, fy, fz = at_point(dX.x), at_point(dX.y), at_point(dX.z)
+            fx, fy, fz = (at_point(dX.x, de("x")), at_point(dX.y, de("y")),
+                          at_point(dX.z, de("z")))
         elif fix_mode == "com_z":
-            fx, fy, fz = at_point(dX.x), at_point(dX.y), com(dX.z)
+            fx, fy, fz = (at_point(dX.x, de("x")), at_point(dX.y, de("y")),
+                          com(dX.z, de("z")))
         else:
             raise ValueError(fix_mode)
         dX = dX.replace(x=jnp.where(occ, dX.x - fx, 0.0),
                         y=jnp.where(occ, dX.y - fy, 0.0),
                         z=jnp.where(occ, dX.z - fz, 0.0))
+        if E is not None:
+            dXe = dXe.replace(x=jnp.where(elive, dXe.x - fx, 0.0),
+                              y=jnp.where(elive, dXe.y - fy, 0.0),
+                              z=jnp.where(elive, dXe.z - fz, 0.0))
+            return dX, aux, dXe, aux_e
         return dX, aux
 
     to_stable = slot_to_stable
@@ -395,7 +478,18 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         X, old_v, dropped, oob, bad = carry
 
         def dstable(Xc):
-            lay = lattice_build(Xc, old_v, n, cube_size, gs, C)
+            lay = lattice_build(Xc, old_v, n, cube_size, gs, C, extras_cap)
+            if extras_cap:
+                dXs, aux_s, dXe, aux_e = deriv(lay, lay.T, n, lay.E)
+                dX_st = jax.tree.map(
+                    lambda a, e: a.at[lay.epid].set(e, mode="drop"),
+                    to_stable(lay, dXs), dXe)
+                aux_st = to_stable(lay, aux_s)
+                aux_st = {
+                    k: aux_st[k].at[lay.epid].set(aux_e[k], mode="drop")
+                    for k in aux_st}
+                aux_st["__err_extras_block"] = aux_e["__err_extras_block"]
+                return dX_st, aux_st, lay.n_dropped, lay.n_oob
             dXs, aux_s = deriv(lay, lay.T, n)
             return (to_stable(lay, dXs), to_stable(lay, aux_s),
                     lay.n_dropped, lay.n_oob)
@@ -418,13 +512,49 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
 
     def chunk(carry, _):
         X, old_v, dropped, oob, bad = carry
-        lay = lattice_build(X, old_v, n, cube_size, gs, C)
+        lay = lattice_build(X, old_v, n, cube_size, gs, C, extras_cap)
         dropped = jnp.maximum(dropped, lay.n_dropped)
         oob = jnp.maximum(oob, lay.n_oob)
 
         occ = occ_of(lay)
+        elive = (lay.epid < lay.slot_of.shape[0]) if extras_cap else None
+
+        def heun(a, b, c2):
+            return jax.tree.map(
+                lambda x, y, z2: x + (y + z2) * (0.5 * dt), a, b, c2)
+
+        def mean_v(d1, d2):
+            return Float3(x=(d1.x + d2.x) * 0.5, y=(d1.y + d2.y) * 0.5,
+                          z=(d1.z + d2.z) * 0.5)
+
+        def max_disp(new, ref, live):
+            # displacement vs the chunk-start binning positions (running
+            # max below: non-monotonic motion must not hide staleness)
+            d = jnp.zeros(())
+            for f in ("x", "y", "z"):
+                delta = jnp.abs(getattr(new, f) - getattr(ref, f))
+                d = jnp.maximum(d, jnp.max(jnp.where(live, delta, 0.0)))
+            return d
 
         def step(c, _):
+            if extras_cap:
+                T, Tov, E, Eov = c
+                lay_t = lay._replace(Tov=Tov, Eov=Eov)
+                d1, aux1, d1e, aux1e = deriv(lay_t, T, n, E)
+                T1 = jax.tree.map(lambda a, b: a + b * dt, T, d1)
+                E1 = jax.tree.map(lambda a, b: a + b * dt, E, d1e)
+                d2, aux, d2e, auxe = deriv(lay_t, T1, n, E1)
+                for k in aux:
+                    if k.startswith("__err_"):
+                        aux[k] = jnp.maximum(aux[k], aux1[k])
+                for k in auxe:
+                    if k.startswith("__err_"):
+                        auxe[k] = jnp.maximum(auxe[k], aux1e[k])
+                T_new, E_new = heun(T, d1, d2), heun(E, d1e, d2e)
+                disp_t = jnp.maximum(max_disp(T_new, lay.T, occ),
+                                     max_disp(E_new, lay.E, elive))
+                return ((T_new, mean_v(d1, d2), E_new, mean_v(d1e, d2e)),
+                        (aux, auxe, disp_t))
             T, Tov = c
             lay_t = lay._replace(Tov=Tov)
             d1, aux1 = deriv(lay_t, T, n)
@@ -433,34 +563,42 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
             for k in aux:
                 if k.startswith("__err_"):
                     aux[k] = jnp.maximum(aux[k], aux1[k])
-            T_new = jax.tree.map(lambda a, b, c2: a + (b + c2) * (0.5 * dt),
-                                 T, d1, d2)
-            ov_new = Float3(x=(d1.x + d2.x) * 0.5, y=(d1.y + d2.y) * 0.5,
-                            z=(d1.z + d2.z) * 0.5)
-            # displacement vs the chunk-start binning positions (running
-            # max below: non-monotonic motion must not hide staleness)
-            disp_t = jnp.zeros(())
-            for f in ("x", "y", "z"):
-                delta = jnp.abs(getattr(T_new, f) - getattr(lay.T, f))
-                disp_t = jnp.maximum(disp_t,
-                                     jnp.max(jnp.where(occ, delta, 0.0)))
-            return (T_new, ov_new), (aux, disp_t)
+            T_new = heun(T, d1, d2)
+            return (T_new, mean_v(d1, d2)), (aux, max_disp(T_new, lay.T,
+                                                           occ))
 
-        (T, Tov), (auxs, disps) = jax.lax.scan(
-            step, (lay.T, lay.Tov), None, length=rebuild_every)
+        if extras_cap:
+            (T, Tov, E, Eov), (auxs, auxes, disps) = jax.lax.scan(
+                step, (lay.T, lay.Tov, lay.E, lay.Eov), None,
+                length=rebuild_every)
+            lay = lay._replace(T=T, Tov=Tov, E=E, Eov=Eov)
+        else:
+            (T, Tov), (auxs, disps) = jax.lax.scan(
+                step, (lay.T, lay.Tov), None, length=rebuild_every)
+            lay = lay._replace(T=T, Tov=Tov)
         # staleness certification: the largest in-chunk displacement bounds
         # how far the binning went stale between rebuilds (with
         # cube_size == cutoff the missed just-entering pairs carry force
         # ~|F(cutoff)| for at most this long) -- published as a metric so
-        # rebuild_every > 1 is certified by measurement, not assumed
+        # rebuild_every > 1 is certified by measurement, not assumption
         disp = jnp.max(disps)
-        lay = lay._replace(T=T, Tov=Tov)
         X, old_v = lattice_unbuild(lay, X, old_v)
         # aux accumulators back to stable-id order; transient __err_*
         # flags accumulate (max) over the chunk's steps
         aux_last = to_stable(lay, {
             k: (a.max(0) if k.startswith("__err_") else a[-1])
             for k, a in auxs.items()})
+        if extras_cap:
+            # extras' aux rows land at their own stable ids; the sidecar
+            # block-overflow flag stays scalar
+            for k in aux_last:
+                if k in auxes:
+                    v = auxes[k].max(0) if k.startswith("__err_") \
+                        else auxes[k][-1]
+                    aux_last[k] = aux_last[k].at[lay.epid].set(
+                        v, mode="drop")
+            aux_last["__err_extras_block"] = \
+                auxes["__err_extras_block"].max(0)
         aux_last["stale_max_disp"] = disp
         if force_r_max is not None:
             # two cells each moving disp toward each other close the gap by

@@ -34,8 +34,49 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..dtypes import Float3
 from ..ops.common import friction_w_neighbour, mask_tree
-from ..ops.lattice_xla import lattice_build, lattice_unbuild, \
-    pairwise_on_padded
+from ..ops.lattice_xla import LatticeLayout, lattice_build, \
+    lattice_unbuild, pairwise_on_padded
+
+
+def _plane_exchange(axis, D):
+    """One-plane z halo exchange for [gz, gs, W] slabs under shard_map:
+    (lo, hi) [1, gs, W] from the z-neighbours (zeros at the ring edges)."""
+    fwd = [(i, i + 1) for i in range(D - 1)]
+    bwd = [(i + 1, i) for i in range(D - 1)]
+
+    def xch(a3):
+        if D == 1:
+            z = jnp.zeros_like(a3[:1])
+            return z, z
+        return (jax.lax.ppermute(a3[-1:], axis, fwd),
+                jax.lax.ppermute(a3[:1], axis, bwd))
+
+    return xch
+
+
+def _pallas_local_pairwise(pw_int, pw_friction, Taug, Tov, pid, n,
+                           cube_size, *, gs, C, gz, z_block, n_pad,
+                           axis, D):
+    """The single-chip Pallas kernel on one z-slab: exchanged halo planes
+    ride the kernel's j-side z pads (``z_halo``), so multi-chip runs the
+    SAME Mosaic program as one chip instead of the XLA fallback
+    (round-2 gap: the sharded path ran at XLA speeds)."""
+    from ..ops.lattice_pallas import lattice_pairwise_pallas
+    W = gs * C
+    xch = _plane_exchange(axis, D)
+    leaves3 = [a.reshape(gz, gs, W) for a in jax.tree.leaves(Taug)]
+    ov3 = [v.reshape(gz, gs, W) for v in (Tov.x, Tov.y, Tov.z)]
+    occ3 = (pid < n_pad).reshape(gz, gs, W).astype(jnp.float32)
+    lo_l, hi_l = zip(*[xch(a) for a in leaves3])
+    lo_ov, hi_ov = zip(*[xch(a) for a in ov3])
+    lo_occ, hi_occ = xch(occ3)
+    shim = LatticeLayout(T=Taug, Tov=Tov, pid=pid, slot_of=pid,
+                         n_dropped=jnp.int32(0), n_oob=jnp.int32(0))
+    return lattice_pairwise_pallas(
+        pw_int, pw_friction, shim, n, cube_size, grid_size=gs,
+        capacity=C, z_block=z_block, grid_z=gz, n_pad=n_pad,
+        z_halo=(list(lo_l), list(hi_l), list(lo_ov), list(hi_ov),
+                lo_occ > 0.5, hi_occ > 0.5))
 
 try:  # jax >= 0.6 exposes shard_map at top level
     shard_map = jax.shard_map
@@ -95,6 +136,7 @@ class ShardedLatticeEngine:
     capacity: int = 8
     z_block: int = 2
     axis: str = "z"
+    pallas: bool = False
 
     def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
                  i_offset=0, i_size=None):
@@ -120,6 +162,13 @@ class ShardedLatticeEngine:
         zb = self.z_block
 
         def local(T_leaves, ov_leaves, pid, cube_size):
+            if self.pallas:
+                F, sum_f, sum_v, aux = _pallas_local_pairwise(
+                    pw_int, pw_friction, jax.tree.unflatten(T_tree,
+                                                            T_leaves),
+                    Float3(*ov_leaves), pid, n, cube_size, gs=gs, C=C,
+                    gz=gz, z_block=zb, n_pad=n_pad, axis=axis, D=D)
+                return (F, sum_f, list(sum_v), aux)
             occ = pid < n_pad
             Pp = jax.tree.unflatten(T_tree, [with_halo(a)
                                              for a in T_leaves])
@@ -155,7 +204,7 @@ def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
                                pw_int, pw_friction, fix_mode,
                                grid_size, capacity, z_block,
                                X, old_v, n, dt, cube_size, fix_point,
-                               precompute=None, axis="z"):
+                               precompute=None, axis="z", pallas=False):
     """``n_steps`` Heun steps, lattice z-slabs sharded over ``mesh[axis]``.
 
     Same semantics as the single-chip ``lattice_heun_steps`` (COM/point
@@ -193,15 +242,24 @@ def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
 
         def deriv(T, Tov):
             Taug = augment(T, n, precompute)
-            Pp = jax.tree.map(with_halo, Taug)
-            Pov = Float3(with_halo(Tov.x), with_halo(Tov.y),
-                         with_halo(Tov.z))
-            Pocc = with_halo(occ) > 0.5
-            Ppid = with_halo(pid.astype(jnp.float32),
-                             float(n_pad)).astype(jnp.int32)
-            F, sum_f, sum_v, aux = pairwise_on_padded(
-                pw_int, pw_friction, Pp, Pov, Pocc, Ppid, cube_size,
-                grid_size=gs, capacity=C, z_block=z_block)
+            if pallas:
+                D = mesh.shape[axis]
+                F, sum_f, sum_v, aux = _pallas_local_pairwise(
+                    pw_int, pw_friction, Taug, Tov, pid, n, cube_size,
+                    gs=gs, C=C, gz=gz, z_block=z_block, n_pad=n_pad,
+                    axis=axis, D=D)
+            else:
+                Pp = jax.tree.map(with_halo, Taug)
+                Pov = Float3(with_halo(Tov.x), with_halo(Tov.y),
+                             with_halo(Tov.z))
+                Pocc = with_halo(occ) > 0.5
+                Ppid = with_halo(pid.astype(jnp.float32),
+                                 float(n_pad)).astype(jnp.int32)
+                F, sum_f, sum_v, aux = pairwise_on_padded(
+                    pw_int, pw_friction, Pp, Pov, Pocc, Ppid, cube_size,
+                    grid_size=gs, capacity=C, z_block=z_block)
+            from ..ops.common import apply_derived_aux
+            aux = apply_derived_aux(pw_int, aux, sum_f)
             F = truncate_aug(F, type(T))
             inv = jnp.where(sum_f > 0,
                             1.0 / jnp.where(sum_f > 0, sum_f, 1.0), 0.0)

@@ -75,6 +75,8 @@ def make_sharded_step(mesh, engine, pw_int, *,
             F, sum_f, sum_v, aux = engine.pairwise(
                 pw_int, pw_friction, augment(X_full, n, precompute),
                 old_v_full, n, cube_size, i_offset=offset, i_size=size)
+            from ..ops.common import apply_derived_aux
+            aux = apply_derived_aux(pw_int, aux, sum_f)
             # in-loop failure flags: reduce engine __err_* channels to
             # scalars and psum-max over the ring (the ERR_PREFIX contract,
             # ops/common.py; the single-chip path raises on these)

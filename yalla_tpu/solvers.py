@@ -58,12 +58,22 @@ class SimulationError(RuntimeError):
 
 @dataclass(frozen=True)
 class TileEngine:
-    """All-pairs O(N^2) (ref Tile_computer, solvers.cuh:324-342)."""
+    """All-pairs O(N^2) (ref Tile_computer, solvers.cuh:324-342).
+
+    ``pallas=True`` runs the fused 8x128-pair-tile TPU kernel
+    (ops/tile_pallas.py) -- the small-N latency path where compact
+    tissues drive the lattice capacity through the roof; needs
+    ``n_pad % 128 == 0`` and no sharded window."""
     j_block: int | None = None
+    pallas: bool = False
 
     def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
                  i_offset=0, i_size=None):
         del cube_size  # no cutoff in the all-pairs engine
+        if self.pallas and i_offset == 0 and i_size is None \
+                and X.x.shape[0] % 128 == 0:
+            from .ops.tile_pallas import tile_pairwise_pallas
+            return tile_pairwise_pallas(pw_int, pw_friction, X, old_v, n)
         return tile_pairwise(pw_int, pw_friction, X, old_v, n,
                              j_block=self.j_block,
                              i_offset=i_offset, i_size=i_size)
@@ -125,6 +135,12 @@ class LatticeEngine:
     rebuild_every: int = 1
     pallas: bool = False
     force_r_max: float | None = None
+    # overflow extras: cells past a cube's ``capacity`` spill into a small
+    # exactly-handled side list (Pallas path only), so ``capacity`` can
+    # track the TYPICAL occupancy instead of the worst cube's (kernel cost
+    # scales ~capacity^2).  0 = off.
+    extras_cap: int = 0
+    extras_block_cap: int = 16
 
     def __post_init__(self):
         # z_block must divide grid_size (slab scan); shrink quietly so
@@ -140,22 +156,38 @@ class LatticeEngine:
                                       lattice_pairwise_resident)
         from .ops.lattice_pallas import lattice_pairwise_pallas
         assert i_offset == 0 and i_size is None
+        extras = self.extras_cap if self.pallas else 0
         lay = lattice_build(X, old_v, n, cube_size, self.grid_size,
-                            self.capacity)
-        fn = lattice_pairwise_pallas if self.pallas \
-            else lattice_pairwise_resident
-        F, sum_f, sum_v, aux = fn(
-            pw_int, pw_friction, lay, n, cube_size,
-            grid_size=self.grid_size, capacity=self.capacity,
-            z_block=self.z_block)
+                            self.capacity, extras)
+        if self.pallas:
+            from functools import partial as _partial
+            fn = _partial(lattice_pairwise_pallas,
+                          extras_block_cap=self.extras_block_cap)
+        else:
+            fn = lattice_pairwise_resident
+        outs = fn(pw_int, pw_friction, lay, n, cube_size,
+                  grid_size=self.grid_size, capacity=self.capacity,
+                  z_block=self.z_block)
+        F, sum_f, sum_v, aux = outs[:4]
         from .ops.lattice_xla import slot_to_stable
         back = lambda t: slot_to_stable(lay, t)
-        aux = back(aux)
+        F, sum_f, sum_v, aux = (back(F), back(sum_f),
+                                tuple(back(list(sum_v))), back(aux))
+        if extras:
+            Fe, sum_fe, sum_ve, aux_e = outs[4]
+            epid = lay.epid
+            merge = lambda a, e: a.at[epid].set(e, mode="drop")
+            F = jax.tree.map(merge, F, Fe)
+            sum_f = merge(sum_f, sum_fe)
+            sum_v = tuple(merge(a, e) for a, e in zip(sum_v, sum_ve))
+            blk = aux_e.pop("__err_extras_block")
+            aux = {k: merge(aux[k], aux_e[k]) for k in aux}
+            aux["__err_extras_block"] = blk
         # per-pass D_ASSERT flags (dropped cells silently lose all their
         # pairs; out-of-grid cells are mis-binned, ref solvers.cuh:361-364)
         aux["__err_lattice_dropped"] = lay.n_dropped.astype(jnp.float32)
         aux["__err_out_of_grid"] = lay.n_oob.astype(jnp.float32)
-        return (back(F), back(sum_f), tuple(back(list(sum_v))), aux)
+        return (F, sum_f, sum_v, aux)
 
 
 @dataclass(frozen=True)
@@ -256,6 +288,8 @@ def _deriv(engine, pw_int, pw_friction, gen, fix_mode, precompute,
     active = jnp.arange(X.x.shape[0], dtype=jnp.int32) < n
     F, sum_f, sum_v, aux = engine.pairwise(
         pw_int, pw_friction, augment(X, n, precompute), old_v, n, cube_size)
+    from .ops.common import apply_derived_aux
+    aux = apply_derived_aux(pw_int, aux, sum_f)
     # engine failure flags reduce to scalars (cheap to carry through scans)
     aux = {k: (jnp.max(v) if k.startswith(ERR_PREFIX) else v)
            for k, v in aux.items()}
@@ -539,7 +573,8 @@ class Solution:
                 e.grid_size, e.capacity, e.z_block,
                 self.d_X, self.d_old_v, self.d_n, jnp.float32(dt),
                 jnp.float32(self.cube_size), jnp.int32(self._fix_point),
-                precompute, e.pallas, gen_static, gen_args, rmax)
+                precompute, e.pallas, gen_static, gen_args, rmax,
+                e.extras_cap, e.extras_block_cap)
             if check_errors:
                 self._check_errors()
             return self.aux
