@@ -164,6 +164,62 @@ def test_lattice_z_slab_sharded_pallas_matches_single():
     assert len(np.unique(cz // (gs // 8))) >= 4
 
 
+def test_resident_sharded_links_match_single():
+    """Links INSIDE the resident sharded loop (all_gather to stable order,
+    replicated hook, slab-local scatter) match the single-chip resident
+    integrator with the same generic force -- the intercalation-class
+    protrusion path scaled past one chip without leaving the lattice."""
+    from yalla_tpu.links import Links, link_forces
+    from yalla_tpu.ops.lattice_xla import lattice_heun_steps
+    from yalla_tpu.parallel.lattice_spmd import (lattice_sharded_heun_steps,
+                                                 make_z_mesh)
+
+    n = 3_000
+    n_pad = 3_072
+    gs, C, zb = 16, 16, 2
+    rng = np.random.default_rng(31)
+    side = int(np.ceil(n ** (1 / 3)))
+    g = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"),
+                 -1).reshape(-1, 3)[:n_pad]
+    pos = (g - side / 2) * 0.8 + rng.uniform(-0.15, 0.15, (len(g), 3))
+    pos = np.concatenate(
+        [pos, np.zeros((max(0, n_pad - len(pos)), 3))])[:n_pad]
+    X0 = Float3(x=jnp.asarray(pos[:, 0], jnp.float32),
+                y=jnp.asarray(pos[:, 1], jnp.float32),
+                z=jnp.asarray(pos[:, 2], jnp.float32))
+    ov0 = Float3.zeros(n_pad)
+    links = Links(n // 2, strength=0.25, seed=7)
+    # z-spanning protrusions so the stable-space hook crosses slabs
+    links.h_a[:n // 2] = rng.integers(0, n, n // 2)
+    links.h_b[:n // 2] = rng.integers(0, n, n // 2)
+    links.copy_to_device()
+    gen = link_forces(links)
+    gen_static = gen._replace(args=None)
+    args = (jnp.int32(n), jnp.float32(0.1), jnp.float32(1.0), jnp.int32(0))
+
+    Xs, ovs, auxs = lattice_heun_steps(
+        4, 2, clipped_spring, friction_w_neighbour, "com", gs, C, zb,
+        X0, ov0, *args, None, False, gen_static, gen.args)
+    assert int(auxs["__err_lattice_dropped"]) == 0
+
+    mesh = make_z_mesh()
+
+    @jax.jit
+    def run(X0, ov0, n, dt, cs, fp, gen_args):
+        return lattice_sharded_heun_steps(
+            mesh, 4, 2, clipped_spring, friction_w_neighbour, "com",
+            gs, C, zb, X0, ov0, n, dt, cs, fp,
+            gen=gen_static, gen_args=gen_args)
+
+    Xm, ovm, auxm = run(X0, ov0, *args, gen.args)
+    assert int(auxm["__err_lattice_dropped"]) == 0
+    for f in ("x", "y", "z"):
+        a = np.asarray(getattr(Xs, f))[:n]
+        b = np.asarray(getattr(Xm, f))[:n]
+        assert np.allclose(a, b, atol=5e-5), \
+            f"resident sharded links diverge in {f}: {np.abs(a - b).max()}"
+
+
 def test_sharded_lattice_engine_with_links():
     """ShardedLatticeEngine composes with the generic integrator: links
     (generic forces) + friction mixing + COM fix reproduce the single-chip

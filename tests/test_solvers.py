@@ -74,12 +74,12 @@ def test_grid_tetrahedron():
 
 
 def test_compare_methods():
-    """Tile, grid, and sorted-window engines must agree point by point on
-    the same IC (ref test_solvers.cu:102-125, extended to all engines)."""
+    """Tile, grid, and lattice engines must agree point by point on the
+    same IC (ref test_solvers.cu:102-125, extended to all engines)."""
     n = 50
     tile = Solution(Float3, n, solver="tile")
     others = {name: Solution(Float3, n, solver=name)
-              for name in ("grid", "window")}
+              for name in ("grid", "lattice")}
     random_sphere(0.733333, tile)
     for o in others.values():
         o.h_X.x[:] = tile.h_X.x

@@ -18,7 +18,7 @@ from .dtypes import (Float3, Float4, Po_cell, Polarity, dot_product, make_pt,
                      pt_zeros_like)
 from .property import Property
 from .solvers import (GabrielEngine, GenericForce, GridEngine, LatticeEngine,
-                      SimulationError, Solution, TileEngine, WindowEngine,
+                      SimulationError, Solution, TileEngine,
                       friction_on_background, friction_w_neighbour,
                       heun_step, heun_steps)
 

@@ -177,23 +177,35 @@ def make_child_fn(p: Params):
 
 def default_engine(n_now, n_max, p: Params = Params(), extent=None,
                    max_occ=9):
-    """Engine for the current population: the gather-grid translation at
-    small n, the Pallas lattice above (sized for the populated extent plus
-    growth headroom -- resize via ``engine_for_state`` when the in-loop
-    out-of-grid / capacity flags fire).  ``max_occ`` defaults to the
-    measured settled-tissue occupancy of the branching potential
-    (BASELINE.md: 8, +1 transient headroom)."""
+    """Engine for the model: the gather-grid translation at small n_max,
+    the Pallas lattice above.
+
+    Capacity-headroom scheduling: the lattice is sized for the FINAL
+    population's extent (``n_max``), not the current one -- the kernel
+    skips blocks with no occupied cells, so a 500-cell seed on a
+    500k-sized lattice only pays for the blocks it fills, and the 500-
+    frame flagship run never hits a mid-run resize + tunnel recompile
+    (round-2 weakness: ``engine_for_state`` redid frames reactively).
+    Occupancy spikes beyond ``capacity`` ride the overflow-extras side
+    list instead of tripping a resize.  ``engine_for_state`` remains the
+    reactive fallback for states that escape the predicted envelope."""
     from ..solvers import LatticeEngine
     from ..ops.lattice_xla import pick_lattice_dims
     if n_max <= 20_000:
         return GridEngine(grid_size=100, row_cap=32)
     if extent is None:
-        # packed-ball radius at the current count (~0.75 spacing)
+        # packed-ball radius at the FINAL count (~0.8 rest spacing), plus
+        # branching-outgrowth margin (branches extend past the ball)
         import numpy as np
-        extent = 0.8 * (3 * max(n_now, 1) / (4 * np.pi)) ** (1 / 3) + 2.0
-    gs, C = pick_lattice_dims(extent * 1.3, p.r_max, max_occ)
+        extent = 0.8 * (3 * max(n_max, 1) / (4 * np.pi)) ** (1 / 3) + 2.0
     pallas = jax.default_backend() == "tpu"
-    return LatticeEngine(grid_size=gs, capacity=C, z_block=2, pallas=pallas)
+    # with extras the capacity tracks the TYPICAL occupancy (kernel cost
+    # ~ C^2); the worst cubes spill into the exactly-handled side list
+    gs, C = pick_lattice_dims(extent * 1.3, p.r_max,
+                              max_occ - 2 if pallas else max_occ)
+    return LatticeEngine(grid_size=gs, capacity=C, z_block=2, pallas=pallas,
+                         extras_cap=4096 if pallas else 0,
+                         extras_block_cap=32)
 
 
 def engine_for_state(state, n_max, p: Params = Params()):

@@ -204,13 +204,24 @@ def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
                                pw_int, pw_friction, fix_mode,
                                grid_size, capacity, z_block,
                                X, old_v, n, dt, cube_size, fix_point,
-                               precompute=None, axis="z", pallas=False):
+                               precompute=None, axis="z", pallas=False,
+                               gen=None, gen_args=None):
     """``n_steps`` Heun steps, lattice z-slabs sharded over ``mesh[axis]``.
 
     Same semantics as the single-chip ``lattice_heun_steps`` (COM/point
     fixes, friction mixing, in-loop failure flags); pure -- call it inside
     your own ``jax.jit``.  ``X``/``old_v`` are stable-id pytrees (any
     sharding; outputs match inputs' structure).
+
+    ``gen`` (a static ``GenericForce`` with ``args=None``) + ``gen_args``
+    run the generic-forces hook (links, walls; ref solvers.cuh:43-53)
+    INSIDE the resident loop: per pass, the slot channels the hook reads
+    are ``all_gather``-ed to stable-id order over the ring (short ICI
+    hop; XLA dead-code-eliminates channels the hook never touches), the
+    hook runs replicated, and each device scatter-adds the rows whose
+    slot lives in its slab.  Protrusion/wall models therefore scale past
+    one chip without leaving the resident loop (round-2 gap: only the
+    rebuild-per-pass ``ShardedLatticeEngine`` composed with links).
 
     Known deviation: ``rebuild_every == 1`` still bins once per *step*
     (both Heun passes share the predictor-state binning), where the
@@ -228,17 +239,42 @@ def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
     W = gs * C
     n_pad = X.x.shape[0]
     n_local = gz * gs * W
+    n_slots_total = n_local * D
     slot_sh = NamedSharding(mesh, P(axis))
 
     with_halo = _halo_fns(axis, D, gz, gs, W)
 
-    def local_chunk(T_leaves, ov_leaves, pid, n, dt, cube_size, fix_point):
+    def local_chunk(T_leaves, ov_leaves, pid, slot_of, n, dt, cube_size,
+                    fix_point, gen_args):
         """rebuild_every steps on the local slab (runs under shard_map)."""
         T_tree = jax.tree.structure(T_example)
         T0 = jax.tree.unflatten(T_tree, T_leaves)
         Tov0 = Float3(*ov_leaves)
         occ = pid < n_pad
         n_occ = jax.lax.psum(jnp.sum(occ), axis)
+        offset = jax.lax.axis_index(axis) * n_local
+
+        def gen_hook(T, F):
+            """Generic forces in stable space: all_gather slot channels
+            (DCE prunes unread ones), run the hook replicated, scatter-add
+            this slab's rows back."""
+            ok = slot_of < n_slots_total
+            pick = jnp.where(ok, slot_of, 0)
+            X_st = jax.tree.map(
+                lambda a: jnp.where(
+                    ok, jax.lax.all_gather(a, axis, tiled=True)[pick],
+                    0.0), T)
+            dXg = gen.fn(X_st, n, gen_args)
+            fields = gen.fields if gen.fields is not None \
+                else type(F)._fields
+            mine = ok & (slot_of >= offset) & (slot_of < offset + n_local)
+            local_idx = jnp.where(mine, slot_of - offset, n_local)
+            upd = {}
+            for f in fields:
+                g = jnp.where(mine, getattr(dXg, f), 0.0)
+                upd[f] = getattr(F, f).at[local_idx].add(
+                    g, mode="drop", unique_indices=True)
+            return F.replace(**upd)
 
         def deriv(T, Tov):
             Taug = augment(T, n, precompute)
@@ -261,6 +297,8 @@ def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
             from ..ops.common import apply_derived_aux
             aux = apply_derived_aux(pw_int, aux, sum_f)
             F = truncate_aug(F, type(T))
+            if gen is not None:
+                F = gen_hook(T, F)
             inv = jnp.where(sum_f > 0,
                             1.0 / jnp.where(sum_f > 0, sum_f, 1.0), 0.0)
             dX = F.replace(x=F.x + sum_v[0] * inv,
@@ -334,15 +372,18 @@ def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
         T_leaves = jax.tree.leaves(lay.T)
         ov_leaves = list(lay.Tov)
 
+        gen_specs = jax.tree.map(lambda _: spec_rep, gen_args)
         inner = shard_map(
             local_chunk, mesh=mesh,
             in_specs=([spec_slot] * len(T_leaves), [spec_slot] * 3,
-                      spec_slot, spec_rep, spec_rep, spec_rep, spec_rep),
+                      spec_slot, spec_rep, spec_rep, spec_rep, spec_rep,
+                      spec_rep, gen_specs),
             out_specs=([spec_slot] * len(T_leaves), [spec_slot] * 3,
                        spec_slot, spec_rep),
             check_vma=False)
         T_new, ov_new, aux_last, bad_c = inner(
-            T_leaves, ov_leaves, lay.pid, n, dt, cube_size, fix_point)
+            T_leaves, ov_leaves, lay.pid, lay.slot_of, n, dt, cube_size,
+            fix_point, gen_args)
         lay = lay._replace(
             T=jax.tree.unflatten(jax.tree.structure(lay.T), T_new),
             Tov=Float3(*ov_new))

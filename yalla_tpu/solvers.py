@@ -39,7 +39,7 @@ from .ops.grid_xla import gabriel_pairwise, grid_pairwise, grid_overflow, \
 from .ops.pairwise_xla import tile_pairwise
 
 __all__ = [
-    "TileEngine", "GridEngine", "GabrielEngine", "WindowEngine",
+    "TileEngine", "GridEngine", "GabrielEngine",
     "LatticeEngine",
     "GenericForce", "Solution", "SimulationError", "heun_step", "heun_steps",
     "friction_w_neighbour", "friction_on_background",
@@ -93,29 +93,6 @@ class GridEngine:
                              grid_size=self.grid_size, row_cap=self.row_cap,
                              i_block=self.i_block,
                              i_offset=i_offset, i_size=i_size)
-
-
-@dataclass(frozen=True)
-class WindowEngine:
-    """Sorted-window grid engine: same physics as GridEngine, gather-free
-    force pass (the TPU performance path; see ops/window_xla.py).
-    ``skin`` > 0 bins at ``cube_size * (1 + skin)`` so neighbour windows
-    stay valid while points move less than the margin."""
-    grid_size: int = 50
-    block: int = 256
-    w_max: int = 512
-    skin: float = 0.0
-
-    def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
-                 i_offset=0, i_size=None):
-        assert i_offset == 0 and i_size is None, \
-            "WindowEngine does not support sharded windows yet"
-        from .ops.window_xla import window_pairwise
-        return window_pairwise(
-            pw_int, pw_friction, X, old_v, n, cube_size,
-            grid_size=self.grid_size, block=self.block, w_max=self.w_max,
-            grid_cube_size=cube_size * (1.0 + self.skin) if self.skin
-            else None)
 
 
 @dataclass(frozen=True)
@@ -407,8 +384,6 @@ class Solution:
                 else:
                     engine = None
                     self._requested_grid_size = int(grid_size)
-            elif solver == "window":
-                engine = WindowEngine(grid_size=grid_size)
             elif solver == "lattice":
                 engine = LatticeEngine(grid_size=grid_size)
             elif solver == "gabriel":
@@ -629,14 +604,6 @@ class Solution:
             dropped = int(lay.n_dropped)
             if dropped:
                 problems["lattice_capacity_dropped"] = dropped
-        if isinstance(self.engine, WindowEngine):
-            from .ops.window_xla import window_build, window_overflow
-            e = self.engine
-            data = window_build(self.d_X, self.d_n,
-                                jnp.float32(self.cube_size * (1 + e.skin)),
-                                e.grid_size, min(e.block, self.n_pad))
-            if bool(window_overflow(data, e.w_max, self.d_n)):
-                problems["window_capacity_overflow"] = True
         return problems
 
     def check_grid_capacity(self):
