@@ -76,10 +76,14 @@ def test_grid_tetrahedron():
 def test_compare_methods():
     """Tile, grid, and lattice engines must agree point by point on the
     same IC (ref test_solvers.cu:102-125, extended to all engines)."""
+    from yalla_tpu.solvers import LatticeEngine
     n = 50
     tile = Solution(Float3, n, solver="tile")
-    others = {name: Solution(Float3, n, solver=name)
-              for name in ("grid", "lattice")}
+    others = {"grid": Solution(Float3, n, solver="grid"),
+              # the 50-cell ball is dense: give the lattice enough
+              # per-cube capacity for the compact IC
+              "lattice": Solution(Float3, n, engine=LatticeEngine(
+                  grid_size=16, capacity=32, z_block=2))}
     random_sphere(0.733333, tile)
     for o in others.values():
         o.h_X.x[:] = tile.h_X.x

@@ -98,11 +98,15 @@ def make_force(p: Params):
         # The v gate simplifies: epi_pair | (near & ~epi) == near.
         epi_pair = near & (both == 1.0)
         du = jnp.where(epi_pair, -p.D_u * r.u, 0.0)
-        dv = jnp.where(near, -p.D_v * r.v, 0.0)
+        dv0 = jnp.where(near, -p.D_v * r.v, 0.0)
         # The reference clamps u/v only in the epithelium-epithelium branch
         # (branching.cu:92-103); mesenchymal v uptake passes unclamped.
-        du = jnp.where(epi_pair & (-du > Xi.u), 0.0, du)
-        dv = jnp.where(epi_pair & (-dv > Xi.v), 0.0, dv)
+        # du is already epi_pair-gated, so the clamp's epi_pair factor is
+        # redundant (a zero du never exceeds a clamp that zeroes it); dv
+        # keeps it because the near-gated term must pass unclamped for
+        # mesenchymal uptake.
+        du = jnp.where(-du > Xi.u, 0.0, du)
+        dv = jnp.where(epi_pair & (-dv0 > Xi.v), 0.0, dv0)
 
         if with_diag:
             # Meinhardt kinetics on the epithelium only (branching.cu:66-77)

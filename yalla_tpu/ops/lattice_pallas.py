@@ -88,7 +88,9 @@ def _extras_tables(layout, t_fields, with_ov, nz, ny, zb, yb,
     extra is tabled in that block iff j can be in range.
 
     Returns (ids [n_blocks, block_cap] int32 with E_cap = empty,
-    channels [n_blocks, block_cap, 128] f32 with X_SENTINEL-poisoned x for
+    channels [n_blocks * block_cap * K_t] flat f32 (SMEM scalar-prefetch
+    layout; Mosaic broadcasts scalars natively where a one-lane VMEM vreg
+    cannot reach both sublanes and lanes) with X_SENTINEL-poisoned x for
     empty entries, block_overflow scalar).
     """
     from .common import cube_coord
@@ -148,8 +150,7 @@ def _extras_tables(layout, t_fields, with_ov, nz, ny, zb, yb,
     if with_ov:
         cols += [Eov.x[pick], Eov.y[pick], Eov.z[pick]]
     chan = jnp.stack(cols, axis=-1)        # [n_blocks, block_cap, K_t]
-    chan = jnp.pad(chan, ((0, 0), (0, 0), (0, 128 - chan.shape[-1])))
-    return ids, chan, block_overflow
+    return ids, chan.reshape(-1), block_overflow
 
 
 def _var_key(v):
@@ -405,8 +406,8 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
 
     def kernel(scal_ref, act_ref, *refs):
         if has_extras:
-            (Ai_hbm, Aj_hbm, Et_hbm, out_ref, out2_ref,
-             xi_ref, rj_ref, et_ref, sems) = refs
+            (et_sref, Ai_hbm, Aj_hbm, out_ref, out2_ref,
+             xi_ref, rj_ref, sems) = refs
         else:
             Ai_hbm, Aj_hbm, out_ref, xi_ref, rj_ref, sems = refs
         zi = pl.program_id(0)
@@ -427,11 +428,6 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                 rj_ref, sems.at[1])
             cp_i.start()
             cp_j.start()
-            if has_extras:
-                cp_e = pltpu.make_async_copy(
-                    Et_hbm.at[zi * ny + yi], et_ref, sems.at[2])
-                cp_e.start()
-                cp_e.wait()
             cp_i.wait()
             cp_j.wait()
 
@@ -497,13 +493,15 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                     return rj_ref[c, 1:1 + zb, 8:8 + yb]
 
                 lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                K_t = len(t_fields) + (3 if have_fr else 0)
+                base = (zi * ny + yi) * E_b * K_t
 
                 for e in range(E_b):
-                    # (1, 1) reads reshaped for rank-3 broadcast (Mosaic
-                    # has no scalar VMEM access; a one-lane vreg
-                    # broadcasts fine)
+                    # SMEM scalar reads: scalar-vector broadcasts are the
+                    # one form Mosaic supports natively (a one-lane VMEM
+                    # vreg cannot broadcast to both sublanes and lanes)
                     def ecol(c):
-                        return et_ref[e:e + 1, c:c + 1].reshape(1, 1, 1)
+                        return et_sref[base + e * K_t + c]
 
                     xe = {k: ecol(tcol[k]) for k in t_fields}
                     r1_leaves = [
@@ -607,22 +605,22 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
     out_shapes = [jax.ShapeDtypeStruct((M, gz, gs, W), jnp.float32)]
     scratch = [pltpu.VMEM((K_i, zb, yb, W), jnp.float32),
                pltpu.VMEM((K_j, zb + 2, yb + 16, W), jnp.float32)]
-    operands = [A_i, A_j]
+    prefetch = [jnp.asarray([cube_size], jnp.float32), act]
     if has_extras:
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        operands.append(chan_tbl)
+        # the extras channel table rides SMEM as a third prefetch scalar
+        # array (see _extras_tables)
+        prefetch.append(chan_tbl)
         out_specs.append(pl.BlockSpec(
             (None, E_b, 128), lambda zi, yi, *_: (zi * ny + yi, 0, 0),
             memory_space=pltpu.VMEM))
         out_shapes.append(
             jax.ShapeDtypeStruct((nz * ny, E_b, 128), jnp.float32))
-        scratch.append(pltpu.VMEM((E_b, 128), jnp.float32))
-    scratch.append(pltpu.SemaphoreType.DMA((3 if has_extras else 2,)))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=len(prefetch),
             grid=(nz, ny),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -636,7 +634,7 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
             flops=pair_lanes * 40, transcendentals=pair_lanes,
             bytes_accessed=(K_i + K_j + M) * gz * gs * W * 4),
         interpret=_interpret(),
-    )(jnp.asarray([cube_size], jnp.float32), act, *operands)
+    )(*prefetch, A_i, A_j)
 
     flat = out[0].reshape(M, n_slots)
 

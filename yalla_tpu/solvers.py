@@ -522,7 +522,7 @@ class Solution:
             raise SimulationError(
                 "in-loop failure detected: " + ", ".join(problems)
                 + " -- raise engine capacity (grid row_cap / lattice "
-                "capacity / window w_max) or check the forces for NaN")
+                "capacity / extras_cap) or check the forces for NaN")
 
     def take_steps(self, n_steps, dt, pw_int, *,
                    pw_friction=friction_w_neighbour, gen_forces=None,
