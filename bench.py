@@ -180,8 +180,11 @@ def build(n_cells, seed=0):
     # kernel's exactly-handled side list, and the cost model below weighs
     # the C^2 lane saving against the per-block sidecar work (~2.2 force
     # evals per tabled extra vs 9*(4C-1) per offset sweep).
-    zb, yb = 2, 8
-    E_B_MAX, E_CAP = 64, 4096
+    zb, yb = 2, 16
+    # E_CAP is a static shape: the extras-extras pair block costs
+    # E_CAP^2 lanes per pass whether or not extras are live, so keep the
+    # headroom moderate (2048^2 ~ 0.3 ms; the settled tissue spills ~0)
+    E_B_MAX, E_CAP = 64, 2048
     best = None
     # m = 1.0 would leave zero staleness margin (cube - r_max = 0): with
     # REBUILD_EVERY > 1 any in-chunk displacement could hide an entering

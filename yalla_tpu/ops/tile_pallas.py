@@ -16,9 +16,10 @@ crossover back to the lattice engine is ~10-20k cells (BASELINE.md).
 Channel layout:
 * j-side: ``[K, NJ, 1, 128]`` rows -- the inner loop indexes dim 1
   (untiled), so every read is one aligned [1, 128] vreg row.
-* i-side: ``[K, 8, NI]`` columns (pre-transposed in XLA) -- the kernel
-  reads static [8, 1] columns per i-group and broadcasts against j rows.
-* out: ``[M, 8, NI]`` columns, transposed back XLA-side.
+* i-side: ``[K, NI/8, 8, 8]`` column tiles (pre-transposed in XLA; the
+  trailing (8, 8) tile satisfies Mosaic's block rule) -- the kernel reads
+  static [8, 1] columns per i-group and broadcasts against j rows.
+* out: ``[M, NI/8, 8, 8]`` column tiles, transposed back XLA-side.
 
 i == j pairs are INCLUDED (models put reaction terms on the diagonal,
 ref examples/turing.cu:38-46); inactive j's are masked by one lane
@@ -41,7 +42,7 @@ def _interpret():
     return jax.default_backend() == "cpu"
 
 
-def tile_pairwise_pallas(pw_int, pw_friction, X, old_v, n, *, i_tile=128):
+def tile_pairwise_pallas(pw_int, pw_friction, X, old_v, n):
     """All-pairs sums: same contract as ``tile_pairwise`` (pairwise_xla).
 
     Returns (dF (Pt [n_pad]), sum_friction [n_pad], sum_v 3-tuple, aux).
@@ -53,10 +54,13 @@ def tile_pairwise_pallas(pw_int, pw_friction, X, old_v, n, *, i_tile=128):
     assert n_pad % 128 == 0, "tile Pallas kernel needs n_pad % 128 == 0"
     NJ = n_pad // 128
     NI = n_pad // 8
-    TI = i_tile          # i's per grid step (multiple of 8)
-    GI = TI // 8         # i-columns per grid step
-    n_steps = n_pad // TI
-    assert n_pad % TI == 0
+    # 8 i-columns (64 points) per grid step, stored as [NI/8, 8, 8] tiles:
+    # Mosaic blocks must be lane-tile multiples OR the full dimension in
+    # their last two dims -- an (8, 8) trailing tile satisfies the rule
+    # with static in-kernel column slices and without unrolling a
+    # 128-column loop per grid step
+    G8 = NI // 8
+    n_steps = G8
 
     unflatten = jax.tree.unflatten
 
@@ -73,20 +77,21 @@ def tile_pairwise_pallas(pw_int, pw_friction, X, old_v, n, *, i_tile=128):
     A_rows = jnp.stack([a.reshape(NJ, 1, 128) for a in leaves]
                        + [v.reshape(NJ, 1, 128)
                           for v in (old_v.x, old_v.y, old_v.z)])
+    # [nf, G8, 8, 8]: [k, g, s, c] = leaf[(g*8 + c)*8 + s]
     A_cols = jnp.stack(
-        [a.reshape(NI, 8).T for a in leaves])          # [nf, 8, NI]
+        [a.reshape(G8, 8, 8).transpose(0, 2, 1) for a in leaves])
 
     def kernel(nref, rows_ref, cols_ref, out_ref):
         gi = pl.program_id(0)
         nn = nref[0]
         jid_row = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
-        for u in range(GI):
-            col = lambda k: cols_ref[k, :, u:u + 1]
+        for u in range(8):
+            col = lambda k: cols_ref[k, 0, :, u:u + 1]
             Xi = unflatten(tree, [col(k) for k in range(nf)])
-            # column t of A_cols holds points t*8 .. t*8+7 (sublane-major)
+            # column (gi, u) holds points (gi*8+u)*8 .. +7 (sublane-major)
             i_ids = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-                     + (gi * GI + u) * 8).astype(jnp.float32)
+                     + (gi * 8 + u) * 8).astype(jnp.float32)
             accs = [jnp.zeros((8, 128), jnp.float32) for _ in range(M)]
 
             def body(jt, accs):
@@ -107,8 +112,8 @@ def tile_pairwise_pallas(pw_int, pw_friction, X, old_v, n, *, i_tile=128):
 
             accs = jax.lax.fori_loop(0, NJ, body, accs)
             for m in range(M):
-                out_ref[m, :, u:u + 1] = jnp.sum(accs[m], axis=1,
-                                                 keepdims=True)
+                out_ref[m, 0, :, u:u + 1] = jnp.sum(accs[m], axis=1,
+                                                    keepdims=True)
 
     out = pl.pallas_call(
         kernel,
@@ -119,13 +124,14 @@ def tile_pairwise_pallas(pw_int, pw_friction, X, old_v, n, *, i_tile=128):
                 pl.BlockSpec((nf + 3, NJ, 1, 128),
                              lambda gi, *_: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((nf, 8, GI), lambda gi, *_: (0, 0, gi),
+                pl.BlockSpec((nf, 1, 8, 8), lambda gi, *_: (0, gi, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((M, 8, GI), lambda gi, *_: (0, 0, gi),
+            out_specs=pl.BlockSpec((M, 1, 8, 8),
+                                   lambda gi, *_: (0, gi, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((M, 8, NI), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M, G8, 8, 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
@@ -134,7 +140,8 @@ def tile_pairwise_pallas(pw_int, pw_friction, X, old_v, n, *, i_tile=128):
         interpret=_interpret(),
     )(jnp.asarray([n], jnp.int32), A_rows, A_cols)
 
-    flat = [out[m].T.reshape(n_pad) for m in range(M)]
+    # [M, g, s, c] -> i = g*64 + c*8 + s
+    flat = [out[m].transpose(0, 2, 1).reshape(n_pad) for m in range(M)]
     F = jax.tree.unflatten(dF_tree, flat[:n_dF])
     sum_f = flat[n_dF]
     sum_v = (flat[n_dF + 1], flat[n_dF + 2], flat[n_dF + 3])
