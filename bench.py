@@ -215,16 +215,16 @@ def build(n_cells, seed=0):
           f"max_occ={max_occ} (cube x{m}) -> gs={gs} C={C} "
           f"extras={n_e} (block cap {e_b})", file=sys.stderr)
 
-    def run(n_steps):
-        k = REBUILD_EVERY
+    def run(n_steps, rebuild=REBUILD_EVERY, cube_mult=1.0):
+        k = rebuild
         while n_steps % k:
             k -= 1
         return lattice_heun_steps(
             n_steps, k, force, friction_w_neighbour, "com", gs, C, zb,
             X, old_v, n, jnp.float32(p.dt),
-            jnp.float32(cube), jnp.int32(0), polarity_precompute,
-            pallas, None, None, jnp.float32(p.r_max),
-            extras_cap, max(e_b, 8))
+            jnp.float32(cube * cube_mult), jnp.int32(0),
+            polarity_precompute, pallas, None, None,
+            jnp.float32(p.r_max), extras_cap, max(e_b, 8))
 
     run.config = {"gs": int(gs), "C": int(C), "max_occ": int(max_occ),
                   "cube": float(cube), "extras": int(n_e),
@@ -297,30 +297,59 @@ def build_sorting(n_cells, seed=0):
           f"extent={extent:.1f} max_occ={max_occ} -> gs={gs} C={C}",
           file=sys.stderr)
 
-    def run(n_steps):
-        k = REBUILD_EVERY
+    def run(n_steps, rebuild=1, cube_mult=1.0):
+        k = rebuild
         while n_steps % k:
             k -= 1
         return lattice_heun_steps(
             n_steps, k, adhesion, friction_w_neighbour, "com", gs, C, 2,
-            X, old_v, n, jnp.float32(dt), jnp.float32(r_max),
+            X, old_v, n, jnp.float32(dt), jnp.float32(r_max * cube_mult),
             jnp.int32(0), None, pallas)
 
+    # binning at cube == r_max leaves ZERO staleness margin, so the only
+    # certifiable cadence is the reference's own rebuild-per-pass
+    # (solvers.cuh:494); a bigger cube would push the compact tissue's
+    # per-cube occupancy past the C = 24 lane bound
+    run.start_rebuild = 1
     run.config = {"gs": int(gs), "C": int(C), "max_occ": int(max_occ)}
     return run
 
 
 def measure(n_cells, n_steps, seed=0, builder=None):
     run = (builder or build)(n_cells, seed)
-    out = run(n_steps)  # compile + warm up (same scan length as timed run)
-    _ = float(np.asarray(out[0].x)[0])  # force completion (readback)
+
+    # The staleness certifier (__err_stale) may reject the default
+    # rebuild cadence: an actively-signalling tissue can move more per
+    # chunk than the binning margin allows.  Climb a ladder until a
+    # warmup run is certified clean -- first WIDEN the margin by growing
+    # the (traced, recompile-free) cube size (exact: forces gate at
+    # their own r_max), then shorten the rebuild cadence.  The timed
+    # number is then honest BY MEASUREMENT, not assumption.
+    start = getattr(run, "start_rebuild", REBUILD_EVERY)
+    ladder = [(start, 1.0)]
+    if start > 1:
+        ladder += [(start, 1.1), (start // 2, 1.0), (start // 2, 1.1),
+                   (1, 1.0)]
+    for rebuild, cm in ladder:
+        out = run(n_steps, rebuild, cm)   # compile + warm up
+        _ = float(np.asarray(out[0].x)[0])  # force completion (readback)
+        aux = out[2]
+        bad = (bool(aux.get("__err_stale", False))
+               or int(aux["__err_lattice_dropped"]) != 0
+               or int(aux["__err_out_of_grid"]) != 0
+               or bool(aux.get("__err_extras_block", False)))
+        if not bad:
+            break
+        print(f"# flags at rebuild_every={rebuild} cube_mult={cm}; "
+              f"trying the next ladder rung", file=sys.stderr)
 
     t0 = time.perf_counter()
-    out = run(n_steps)
+    out = run(n_steps, rebuild, cm)
     _ = float(np.asarray(out[0].x)[0])
     dt = time.perf_counter() - t0
     print(f"# measured {n_cells}: {n_cells * n_steps / dt:.4g} "
-          f"cell-steps/s", file=sys.stderr)
+          f"cell-steps/s (rebuild_every={rebuild}, cube_mult={cm})",
+          file=sys.stderr)
     aux = out[2]
     assert int(aux["__err_lattice_dropped"]) == 0, \
         "cube capacity overflow during the timed run"
@@ -331,6 +360,8 @@ def measure(n_cells, n_steps, seed=0, builder=None):
         # a just-entering pair inside the binning margin
         assert not bool(aux["__err_stale"]), \
             "stale binning: displacement exceeded the rebuild margin"
+    run.config["rebuild_every"] = rebuild
+    run.config["cube_mult"] = cm
     return n_cells * n_steps / dt, run.config
 
 
