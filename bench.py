@@ -202,7 +202,9 @@ def build(n_cells, seed=0):
             else:
                 n_e, e_blk = _extras_plan(X, n_cells, gs_m, cube_m, C_m,
                                           zb, yb)
-                e_b = -(-int(e_blk * 1.5 + 8) // 8) * 8
+                # headroom: 2x the measured per-block spill or +6, the
+                # kernel sidecar costs ~2.2 force evals per table slot
+                e_b = -(-max(e_blk * 2, e_blk + 6) // 8) * 8
                 if n_e > E_CAP // 2 or e_b > E_B_MAX:
                     continue
             cost = gs_m ** 3 * C_m * (9 * (4 * C_m - 1) + 2.2 * e_b)

@@ -388,3 +388,39 @@ def test_resident_staleness_flag():
     _, _, aux_fast = run(0.8)
     assert float(aux_fast["__err_stale"]) == 1.0, \
         f"fast run not flagged (disp={float(aux_fast['stale_max_disp'])})"
+
+
+def test_resident_staleness_collective_flow_not_flagged():
+    """A rigidly-rotating tissue has LARGE absolute displacement but
+    closes no pair gaps: the shear-based certificate must stay clean
+    where a 2*max|dX| bound would reject every chunk (the flagship's
+    friction velocity mixing sustains exactly such collective flows)."""
+    from yalla_tpu.ops.common import friction_w_neighbour
+
+    def no_force(Xi, r, dist, i, j):
+        return jax.tree.map(lambda a: jnp.zeros_like(dist), Xi)
+
+    rng = np.random.default_rng(5)
+    n, n_pad = 2000, 2048
+    pos = rng.uniform(-1, 1, (n_pad, 3))
+    pos = (pos / np.maximum(np.linalg.norm(pos, axis=1, keepdims=True),
+                            1e-6)) * (6.3 * rng.random((n_pad, 1)) **
+                                      (1 / 3))
+    X = Float3(x=jnp.asarray(pos[:, 0], jnp.float32),
+               y=jnp.asarray(pos[:, 1], jnp.float32),
+               z=jnp.asarray(pos[:, 2], jnp.float32))
+    # rigid rotation about z, carried by the friction velocity mixing
+    w = 0.12
+    ov = Float3(x=jnp.asarray(-w * pos[:, 1], jnp.float32),
+                y=jnp.asarray(w * pos[:, 0], jnp.float32),
+                z=jnp.zeros(n_pad, jnp.float32))
+    X1, ov1, aux = lattice_heun_steps(
+        4, 4, no_force, friction_w_neighbour, "com", 16, 24, 4,
+        X, ov, jnp.int32(n), jnp.float32(0.1), jnp.float32(1.3),
+        jnp.int32(0), None, False, None, None, jnp.float32(1.0))
+    d = float(aux["stale_max_disp"])
+    margin = 1.3 - 1.0
+    assert 2 * d > margin, \
+        f"rotation too slow to discriminate the bounds (disp={d})"
+    assert float(aux["__err_stale"]) == 0.0, \
+        f"collective rotation falsely flagged stale (disp={d})"

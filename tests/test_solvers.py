@@ -288,3 +288,39 @@ def test_gabriel_solver():
         expected = 3 if i % 2 != 0 else 4
         assert n_nbs[i] == expected, \
             f"Wrong number of neighbours at {i}: {n_nbs[i]}"
+
+
+def test_gabriel_windowed_matches_gather():
+    """The sorted-order shared-window Gabriel formulation reproduces the
+    per-point gather formulation (forces, friction sums, and kept-pair
+    structure) on a random tissue."""
+    import jax.numpy as jnp
+    import numpy as np
+    from yalla_tpu.ops.common import friction_w_neighbour
+    from yalla_tpu.ops.grid_xla import gabriel_pairwise, gabriel_windowed
+
+    rng = np.random.default_rng(17)
+    n, n_pad = 700, 768
+    pos = rng.uniform(-4, 4, (n_pad, 3)).astype(np.float32)
+    X = Float3(x=jnp.asarray(pos[:, 0]), y=jnp.asarray(pos[:, 1]),
+               z=jnp.asarray(pos[:, 2]))
+    ov = Float3(x=jnp.asarray(rng.random(n_pad), jnp.float32),
+                y=jnp.asarray(rng.random(n_pad), jnp.float32),
+                z=jnp.asarray(rng.random(n_pad), jnp.float32))
+
+    a = gabriel_pairwise(clipped_spring, friction_w_neighbour, X, ov,
+                         jnp.int32(n), jnp.float32(1.0), grid_size=16,
+                         row_cap=48, max_candidates=64)
+    b = gabriel_windowed(clipped_spring, friction_w_neighbour, X, ov,
+                         jnp.int32(n), jnp.float32(1.0), grid_size=16,
+                         i_block=64, window_cap=256, max_candidates=64)
+    assert float(np.max(np.asarray(a[3]["__err_gabriel_candidates"]))) == 0
+    assert float(np.max(np.asarray(b[3]["__err_gabriel_candidates"]))) == 0
+    assert float(np.max(np.asarray(b[3]["__err_grid_overflow"]))) == 0
+    for f in ("x", "y", "z"):
+        fa = np.asarray(getattr(a[0], f))[:n]
+        fb = np.asarray(getattr(b[0], f))[:n]
+        assert np.allclose(fa, fb, atol=1e-5), \
+            f"windowed Gabriel force differs in {f}: {np.abs(fa - fb).max()}"
+    assert np.allclose(np.asarray(a[1])[:n], np.asarray(b[1])[:n],
+                       atol=1e-5), "sum_friction differs"

@@ -194,6 +194,18 @@ def gabriel_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
     (the reference silently overruns its array past 100; here overflow
     raises through the in-loop ``__err`` flags instead).
     """
+    return _gabriel_gather(pw_int, pw_friction, X, old_v, n, cube_size,
+                           grid_size=grid_size, row_cap=row_cap,
+                           gabriel_coefficient=gabriel_coefficient,
+                           i_block=i_block, i_offset=i_offset,
+                           i_size=i_size, max_candidates=max_candidates)
+
+
+def _gabriel_gather(pw_int, pw_friction, X, old_v, n, cube_size, *,
+                    grid_size, row_cap, gabriel_coefficient,
+                    i_block, i_offset, i_size, max_candidates):
+    """Per-point row-gather formulation (original; see gabriel_windowed
+    for the shared-window TPU path)."""
     n_pad = X.x.shape[0]
     if i_size is None:
         i_size = n_pad
@@ -265,3 +277,153 @@ def gabriel_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
         return out
 
     return _scan_blocks(eval_block, i_size, B)
+
+
+def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
+                     grid_size=50, gabriel_coefficient=0.8,
+                     i_block=64, window_cap=256, max_candidates=32):
+    """Gabriel pairs via SORTED-ORDER shared windows: the TPU-native
+    rewrite of :func:`gabriel_pairwise`.
+
+    The gather formulation moves ~(9 * row_cap * 3 + NC * K) randomly
+    addressed elements per point and is bandwidth-dead at XLA:TPU's ~1e8
+    gathered elements/s.  Here consecutive SORTED points share their
+    neighbourhood: for each block of ``i_block`` sorted points, the nine
+    (dz, dy) candidate rows are fetched as CONTIGUOUS ``dynamic_slice``
+    windows of the cube-sorted channel matrix (one slice per row, all
+    channels at once), per-point validity is index arithmetic, and only
+    the ``max_candidates`` nearest survivors pay a (row-local)
+    ``take_along_axis``.  The midpoint test then runs on the compact
+    candidates for BOTH j and k: any blocker k lies within
+    ``0.9 * dist_ij < cube_size`` of i (|k - m| < 0.4 d and |i - m| =
+    0.5 d), so i's within-cutoff candidate list -- certified complete by
+    the ``__err_gabriel_candidates`` flag -- contains every possible
+    blocker (ref solvers.cuh:572-597 restricts k to closer candidates,
+    which this set supersedes).
+
+    Flags: ``__err_gabriel_window`` (a block's shared row span exceeded
+    ``window_cap``: candidates were silently clipped),
+    ``__err_gabriel_candidates`` (a point had more within-cutoff
+    candidates than ``max_candidates``).
+    """
+    n_pad = X.x.shape[0]
+    gs = grid_size
+    B = _block_size(n_pad, i_block)
+    Wr = min(window_cap, n_pad)
+    NC = min(max_candidates, 9 * Wr)
+    tables = build_grid(X, n, cube_size, gs)
+
+    # cube-sorted channel matrix: one gather per pass builds it, every
+    # window afterwards is a contiguous slice.  Row order: X leaves,
+    # old_v x/y/z, sorted cube id, active flag.
+    leaves_X, tree_X = jax.tree.flatten(X)
+    nx = len(leaves_X)
+    order = tables.order
+    sorted_cid = tables.cid[order]
+    srt = jnp.stack(
+        [a[order] for a in leaves_X]
+        + [old_v.x[order], old_v.y[order], old_v.z[order]]
+        + [sorted_cid.astype(jnp.float32),
+           (order < n).astype(jnp.float32)])          # [K + 5, n_pad]
+    K = srt.shape[0]
+    offs = _row_offsets(gs)                            # [9, 3]
+    n_cubes = gs ** 3
+
+    def eval_block(b0):
+        isl = lambda a: jax.lax.dynamic_slice_in_dim(a, b0, B)
+        blk = jax.lax.dynamic_slice(srt, (0, b0), (K, B))
+        Xi = jax.tree.unflatten(tree_X, list(blk[:nx]))
+        cid_i = blk[K - 2].astype(jnp.int32)
+        act_i = blk[K - 1] > 0.5
+        i_ids = isl(order)
+
+        # per-i row ranges -> block-shared window per row
+        qc = jnp.clip(cid_i[:, None, None] + offs[None], 0, n_cubes - 1)
+        rs = jnp.min(tables.cube_start[qc], axis=2)    # [B, 9]
+        re = jnp.max(tables.cube_end[qc], axis=2)      # [B, 9] inclusive
+        # rows of inactive points must not widen the shared span
+        rs = jnp.where(act_i[:, None], rs, n_pad)
+        re = jnp.where(act_i[:, None], re, -1)
+        w0 = jnp.min(rs, axis=0)                       # [9]
+        w_over = jnp.max(re, axis=0) - w0 + 1 > Wr
+
+        def row_win(r):
+            return jax.lax.dynamic_slice(
+                srt, (0, jnp.clip(w0[r], 0, n_pad - Wr)), (K, Wr))
+
+        win = jnp.stack([row_win(r) for r in range(9)])   # [9, K, Wr]
+        wpos = (jnp.clip(w0, 0, n_pad - Wr)[:, None]
+                + jnp.arange(Wr, dtype=jnp.int32)[None])  # [9, Wr]
+        # per-(i, row, w) validity: the window slot sits in i's row range
+        valid = ((wpos[None] >= rs[:, :, None])
+                 & (wpos[None] <= re[:, :, None])
+                 & (win[None, :, K - 1] > 0.5))           # [B, 9, Wr]
+
+        xj = win[:, 0][None]
+        yj = win[:, 1][None]
+        zj = win[:, 2][None]
+        xi = Xi.x[:, None, None]
+        yi = Xi.y[:, None, None]
+        zi = Xi.z[:, None, None]
+        dist = jnp.sqrt((xi - xj) ** 2 + (yi - yj) ** 2 + (zi - zj) ** 2)
+        cand = valid & (dist < cube_size) & act_i[:, None, None]
+        n_cand = jnp.sum(cand, axis=(1, 2))
+
+        # NC nearest candidates (flattened over the 9 windows)
+        key = jnp.where(cand, dist, jnp.inf).reshape(B, 9 * Wr)
+        _, sel = jax.lax.top_k(-key, NC)                  # [B, NC]
+        take = lambda a: jnp.take_along_axis(
+            jnp.broadcast_to(a.reshape(-1, 9 * Wr), (B, 9 * Wr)),
+            sel, axis=1)
+        cand_s = jnp.take_along_axis(cand.reshape(B, 9 * Wr), sel, axis=1)
+        dist_s = jnp.take_along_axis(dist.reshape(B, 9 * Wr), sel, axis=1)
+        xj_s, yj_s, zj_s = take(xj), take(yj), take(zj)
+
+        # midpoint test on the compact set: j AND k from the same NC list
+        mx = (Xi.x[:, None] + xj_s) * 0.5
+        my = (Xi.y[:, None] + yj_s) * 0.5
+        mz = (Xi.z[:, None] + zj_s) * 0.5
+        d2 = ((mx[:, :, None] - xj_s[:, None, :]) ** 2
+              + (my[:, :, None] - yj_s[:, None, :]) ** 2
+              + (mz[:, :, None] - zj_s[:, None, :]) ** 2)
+        radius2 = (0.5 * dist_s * gabriel_coefficient) ** 2
+        blocked = jnp.any(cand_s[:, None, :]
+                          & (d2 < radius2[:, :, None]), axis=2)
+        keep = cand_s & ~blocked
+
+        # force evaluation on the kept pairs; j channels ride the compact
+        # row-local take (XLA DCEs leaves the force never reads)
+        Xi_b = jax.tree.map(lambda a: a[:, None], Xi)
+        Xj = jax.tree.unflatten(
+            tree_X, [take(win[:, k][None]) for k in range(nx)])
+        Xj = Xj.replace(x=xj_s, y=yj_s, z=zj_s)
+        ovj = tuple(take(win[:, nx + c][None]) for c in range(3))
+        # ids only need i == j / i != j semantics: sorted-slot numbers are
+        # unique, and the self-pair survives the midpoint test naturally
+        # (radius 0 admits no blocker -- the reference's is_self keep,
+        # solvers.cuh:572-597)
+        slot_i = (b0 + jnp.arange(B, dtype=jnp.int32))[:, None]
+        slot_j = jnp.take_along_axis(
+            jnp.broadcast_to(wpos.reshape(1, -1), (B, 9 * Wr)), sel,
+            axis=1)
+        out = evaluate_pairs(pw_int, pw_friction, Xi_b, Xj, ovj,
+                             slot_i, slot_j, keep, sum_axes=(1,))
+        aux = out[3]
+        aux["__err_grid_overflow"] = jnp.broadcast_to(
+            jnp.any(w_over).astype(jnp.float32), (B,))
+        aux["__err_gabriel_candidates"] = (
+            (n_cand > NC) & act_i).astype(jnp.float32)
+        return out, i_ids
+
+    starts = jnp.arange(n_pad // B, dtype=jnp.int32) * B
+    (F, sum_f, sum_v, aux), ids = jax.lax.map(eval_block, starts)
+    ids = ids.reshape(-1)
+
+    def back(a, fill=0.0):
+        flat = a.reshape((n_pad,) + a.shape[2:])
+        return jnp.full(flat.shape, fill, flat.dtype) \
+            .at[ids].set(flat, mode="drop", unique_indices=True)
+
+    return (jax.tree.map(back, F), back(sum_f),
+            tuple(back(v) for v in sum_v),
+            {k: back(v) for k, v in aux.items()})

@@ -191,6 +191,54 @@ def lattice_overflow_count(layout):
     return layout.n_dropped
 
 
+def _stale_shear_flag(P, Q, grid_size, cube_size, force_r_max, max_disp):
+    """Conservative missed-pair certificate for ``rebuild_every > 1``
+    that is IMMUNE to collective flow.
+
+    A pair can be missed only if it is outside the 27-cube stencil at
+    build time (>= 2 cubes apart along some axis, i.e. coordinate gap
+    > cube_size there) yet comes within ``force_r_max`` during the
+    chunk -- its gap must CLOSE by more than ``cube_size - r_max``.
+    The closure along axis u is bounded by ``max_a(du_a) - min_b(du_b)``
+    over the two cells' cubes -- a DIRECTIONAL difference in which any
+    bulk translation/rotation of the neighbourhood cancels (the
+    absolute-displacement bound 2*max|dX| flags sustained collective
+    flows that close no gaps at all).
+
+    ``P``/``Q``: [3, gs^3] per-axis per-cube running max/min of the
+    in-chunk displacement (occupied cubes; -inf/+inf where empty).
+    Checks cube pairs exactly 2 apart along each axis with lateral
+    offsets <= 2; pairs >= 3 apart along any axis need a closure
+    > 2*cube - r_max, covered by the global fallback term.
+    """
+    gs = grid_size
+    margin2 = cube_size - force_r_max
+    big = jnp.float32(3e38)
+
+    def axis_flag(u):
+        P3 = P[u].reshape(gs, gs, gs)
+        Q3 = Q[u].reshape(gs, gs, gs)
+        # lateral 5-wide min-pools over the OTHER two axes
+        for lat in range(3):
+            if lat == u:
+                continue
+            Qp = jnp.pad(Q3, [(2, 2) if a == lat else (0, 0)
+                              for a in range(3)], constant_values=big)
+            Q3 = jnp.min(jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(Qp, k, gs, axis=lat)
+                 for k in range(5)]), axis=0)
+        # partner cubes exactly +2 along u (ordered pairs: a below b)
+        Qs = jnp.pad(Q3, [(0, 2) if a == u else (0, 0)
+                          for a in range(3)], constant_values=big)
+        Qs = jax.lax.dynamic_slice_in_dim(Qs, 2, gs, axis=u)
+        return jnp.max(P3 - Qs) > margin2
+
+    flag = (2.0 * max_disp) > (2.0 * cube_size - force_r_max)
+    for u in range(3):
+        flag = flag | axis_flag(u)
+    return flag.astype(jnp.float32)
+
+
 def slot_to_stable(layout, tree, fill=0.0):
     """Gather a slot-space pytree back to stable-id order (``fill`` for
     ids with no slot: inactive or capacity-dropped)."""
@@ -536,9 +584,35 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                 d = jnp.maximum(d, jnp.max(jnp.where(live, delta, 0.0)))
             return d
 
+        # per-axis per-cube displacement extrema for the shear-based
+        # staleness certificate (collective flow cancels; see
+        # _stale_shear_flag)
+        big = jnp.float32(3e38)
+        n_cubes = gs ** 3
+        track = force_r_max is not None
+        if track and extras_cap:
+            eci = _cube_ids(lay.E, jnp.int32(lay.epid.shape[0]), cube_size,
+                            gs)
+            eci = jnp.where(elive, eci, n_cubes)
+
+        def pq_update(P, Q, T_new, E_new):
+            for u, f in enumerate(("x", "y", "z")):
+                d2 = (getattr(T_new, f) - getattr(lay.T, f)) \
+                    .reshape(n_cubes, C)
+                occ2 = occ.reshape(n_cubes, C)
+                P = P.at[u].max(jnp.max(jnp.where(occ2, d2, -big), axis=1))
+                Q = Q.at[u].min(jnp.min(jnp.where(occ2, d2, big), axis=1))
+                if E_new is not None:
+                    de = getattr(E_new, f) - getattr(lay.E, f)
+                    P = P.at[u, eci].max(jnp.where(elive, de, -big),
+                                         mode="drop")
+                    Q = Q.at[u, eci].min(jnp.where(elive, de, big),
+                                         mode="drop")
+            return P, Q
+
         def step(c, _):
             if extras_cap:
-                T, Tov, E, Eov = c
+                T, Tov, E, Eov, P, Q = c
                 lay_t = lay._replace(Tov=Tov, Eov=Eov)
                 d1, aux1, d1e, aux1e = deriv(lay_t, T, n, E)
                 T1 = jax.tree.map(lambda a, b: a + b * dt, T, d1)
@@ -553,9 +627,11 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                 T_new, E_new = heun(T, d1, d2), heun(E, d1e, d2e)
                 disp_t = jnp.maximum(max_disp(T_new, lay.T, occ),
                                      max_disp(E_new, lay.E, elive))
-                return ((T_new, mean_v(d1, d2), E_new, mean_v(d1e, d2e)),
-                        (aux, auxe, disp_t))
-            T, Tov = c
+                if track:
+                    P, Q = pq_update(P, Q, T_new, E_new)
+                return ((T_new, mean_v(d1, d2), E_new, mean_v(d1e, d2e),
+                         P, Q), (aux, auxe, disp_t))
+            T, Tov, P, Q = c
             lay_t = lay._replace(Tov=Tov)
             d1, aux1 = deriv(lay_t, T, n)
             T1 = jax.tree.map(lambda a, b: a + b * dt, T, d1)
@@ -564,17 +640,23 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                 if k.startswith("__err_"):
                     aux[k] = jnp.maximum(aux[k], aux1[k])
             T_new = heun(T, d1, d2)
-            return (T_new, mean_v(d1, d2)), (aux, max_disp(T_new, lay.T,
-                                                           occ))
+            if track:
+                P, Q = pq_update(P, Q, T_new, None)
+            return ((T_new, mean_v(d1, d2), P, Q),
+                    (aux, max_disp(T_new, lay.T, occ)))
 
+        npq = 3 if track else 1  # dummy size-1 fields when untracked
+        P0 = jnp.full((npq, n_cubes if track else 1), -big)
+        Q0 = jnp.full((npq, n_cubes if track else 1), big)
         if extras_cap:
-            (T, Tov, E, Eov), (auxs, auxes, disps) = jax.lax.scan(
-                step, (lay.T, lay.Tov, lay.E, lay.Eov), None,
+            (T, Tov, E, Eov, P, Q), (auxs, auxes, disps) = jax.lax.scan(
+                step, (lay.T, lay.Tov, lay.E, lay.Eov, P0, Q0), None,
                 length=rebuild_every)
             lay = lay._replace(T=T, Tov=Tov, E=E, Eov=Eov)
         else:
-            (T, Tov), (auxs, disps) = jax.lax.scan(
-                step, (lay.T, lay.Tov), None, length=rebuild_every)
+            (T, Tov, P, Q), (auxs, disps) = jax.lax.scan(
+                step, (lay.T, lay.Tov, P0, Q0), None,
+                length=rebuild_every)
             lay = lay._replace(T=T, Tov=Tov)
         # staleness certification: the largest in-chunk displacement bounds
         # how far the binning went stale between rebuilds (with
@@ -600,12 +682,14 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
             aux_last["__err_extras_block"] = \
                 auxes["__err_extras_block"].max(0)
         aux_last["stale_max_disp"] = disp
-        if force_r_max is not None:
-            # two cells each moving disp toward each other close the gap by
-            # 2*disp: if that exceeds the binning margin, a just-entering
-            # pair may have been missed during this chunk
-            aux_last["__err_stale"] = (
-                2.0 * disp > cube_size - force_r_max).astype(jnp.float32)
+        if track:
+            # a missed pair needs a DIRECTIONAL gap closure across >= 2
+            # cubes; collective flow (which a p99-wide tissue sustains
+            # through the friction velocity mixing) cancels in the
+            # per-axis shear bound where the absolute 2*max|dX| bound
+            # would flag every resident chunk
+            aux_last["__err_stale"] = _stale_shear_flag(
+                P, Q, gs, cube_size, force_r_max, disp)
         bad = bad | nonfinite(X)
         return (X, old_v, dropped, oob, bad), aux_last
 

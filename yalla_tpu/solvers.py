@@ -178,9 +178,24 @@ class GabrielEngine:
     gabriel_coefficient: float = 0.8
     i_block: int = 256
     max_candidates: int = 100
+    # windowed=True runs the sorted-order shared-window formulation
+    # (ops/grid_xla.gabriel_windowed): contiguous dynamic-slice windows
+    # instead of per-point row gathers -- the TPU path.  window_cap bounds
+    # a block's shared row span (overflow flagged in-loop).
+    windowed: bool = True
+    window_cap: int = 256
 
     def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
                  i_offset=0, i_size=None):
+        if self.windowed and i_offset == 0 and i_size is None:
+            from .ops.grid_xla import gabriel_windowed
+            return gabriel_windowed(
+                pw_int, pw_friction, X, old_v, n, cube_size,
+                grid_size=self.grid_size,
+                gabriel_coefficient=self.gabriel_coefficient,
+                i_block=min(self.i_block, 64),
+                window_cap=self.window_cap,
+                max_candidates=self.max_candidates)
         return gabriel_pairwise(
             pw_int, pw_friction, X, old_v, n, cube_size,
             grid_size=self.grid_size, row_cap=self.row_cap,
