@@ -317,6 +317,79 @@ def build_sorting(n_cells, seed=0):
     return run
 
 
+def build_sorting_tile(n_cells, seed=0):
+    """5k-class contender: the fused all-pairs Pallas tile kernel
+    (``TileEngine(pallas=True)``, ops/tile_pallas.py).  Compact adhesive
+    tissues pack ~20 cells/cube, which drives the lattice capacity (cost
+    ~C^2) through the roof at small n while n^2 is only 26M pairs at 5k;
+    the bench races both engines and reports the better (the crossover
+    is recorded in BASELINE.md)."""
+    from yalla_tpu.dtypes import Float3, make_pt
+    from yalla_tpu.inits import relu_force
+    from yalla_tpu.ops.common import friction_w_neighbour
+    from yalla_tpu.ops.lattice_xla import lattice_heun_steps, \
+        lattice_grid_for
+    from yalla_tpu.solvers import TileEngine, heun_steps
+
+    Cell = make_pt("SortCell", "ctype")
+    rng = np.random.default_rng(seed)
+    n_pad = max(128, -(-n_cells // 128) * 128)  # tile kernel: n_pad % 128
+    side = int(np.ceil(n_cells ** (1 / 3)))
+    g = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"),
+                 -1).reshape(-1, 3)[:n_pad]
+    pos = (g - side / 2) * 0.75 + rng.uniform(-0.2, 0.2, (len(g), 3))
+    pos = np.concatenate(
+        [pos, np.zeros((max(0, n_pad - len(pos)), 3))])[:n_pad]
+    X = Cell(x=jnp.asarray(pos[:, 0], jnp.float32),
+             y=jnp.asarray(pos[:, 1], jnp.float32),
+             z=jnp.asarray(pos[:, 2], jnp.float32),
+             ctype=jnp.asarray((rng.random(n_pad) < 0.5)
+                               .astype(np.float32)))
+    old_v = Float3.zeros(n_pad)
+    n = jnp.int32(n_cells)
+    r_max, r_min, dt = 1.0, 0.5, 0.05
+
+    def adhesion(Xi, r, dist, i, j):
+        near = (i != j) & (dist < r_max)
+        same = r.ctype == 0.0
+        strength = jnp.where(same, jnp.where(Xi.ctype > 0.5, 9.0, 1.0),
+                             3.0)
+        F = 2 * (r_min - dist) * (r_max - dist) + (r_max - dist) ** 2
+        pos_ = dist > 0
+        inv = jnp.where(pos_, 1.0 / jnp.where(pos_, dist, 1.0), 0.0)
+        w = jnp.where(near, strength * F * inv, 0.0)
+        zero = jnp.zeros_like(dist)
+        return Cell(x=r.x * w, y=r.y * w, z=r.z * w, ctype=zero)
+
+    _, extent0 = _max_occ(X, n_cells, 64, r_max)
+    gs0 = lattice_grid_for(extent0 * 1.1 + 1.0, r_max, 8)
+    X, old_v, aux = lattice_heun_steps(
+        RELAX_STEPS, REBUILD_EVERY, relu_force, friction_w_neighbour,
+        "com", gs0, 16, 2, X, old_v, n, jnp.float32(0.1),
+        jnp.float32(r_max), jnp.int32(0), None, False)
+    assert int(aux["__err_out_of_grid"]) == 0
+    X, old_v, aux = lattice_heun_steps(
+        RELAX_STEPS, REBUILD_EVERY, adhesion, friction_w_neighbour,
+        "com", gs0, 16, 2, X, old_v, n, jnp.float32(dt),
+        jnp.float32(r_max), jnp.int32(0), None, False)
+    assert int(aux["__err_out_of_grid"]) == 0
+    old_v = jax.tree.map(jnp.zeros_like, old_v)
+
+    engine = TileEngine(pallas=jax.default_backend() == "tpu")
+    print(f"# bench config (sorting 5k-class, N^2 tile kernel): "
+          f"n={n_cells} n_pad={n_pad}", file=sys.stderr)
+
+    def run(n_steps, rebuild=1, cube_mult=1.0):
+        del rebuild, cube_mult  # no binning in the all-pairs engine
+        return heun_steps(n_steps, engine, adhesion, friction_w_neighbour,
+                          None, "com", X, old_v, n, jnp.float32(dt),
+                          jnp.float32(r_max), jnp.int32(0), None)
+
+    run.start_rebuild = 1
+    run.config = {"engine": "tile_pallas", "n_pad": int(n_pad)}
+    return run
+
+
 def measure(n_cells, n_steps, seed=0, builder=None):
     run = (builder or build)(n_cells, seed)
 
@@ -337,8 +410,8 @@ def measure(n_cells, n_steps, seed=0, builder=None):
         _ = float(np.asarray(out[0].x)[0])  # force completion (readback)
         aux = out[2]
         bad = (bool(aux.get("__err_stale", False))
-               or int(aux["__err_lattice_dropped"]) != 0
-               or int(aux["__err_out_of_grid"]) != 0
+               or int(aux.get("__err_lattice_dropped", 0)) != 0
+               or int(aux.get("__err_out_of_grid", 0)) != 0
                or bool(aux.get("__err_extras_block", False)))
         if not bad:
             break
@@ -353,9 +426,9 @@ def measure(n_cells, n_steps, seed=0, builder=None):
           f"cell-steps/s (rebuild_every={rebuild}, cube_mult={cm})",
           file=sys.stderr)
     aux = out[2]
-    assert int(aux["__err_lattice_dropped"]) == 0, \
+    assert int(aux.get("__err_lattice_dropped", 0)) == 0, \
         "cube capacity overflow during the timed run"
-    assert int(aux["__err_out_of_grid"]) == 0, "cells left the grid"
+    assert int(aux.get("__err_out_of_grid", 0)) == 0, "cells left the grid"
     assert not bool(aux["__err_non_finite"]), "non-finite state"
     if "__err_stale" in aux:
         # rebuild_every > 1 is certified: no chunk moved far enough to hide
@@ -396,11 +469,17 @@ def main():
     rate, config = _measure_retry(n_cells, n_steps)
     extra = {"config": config}
     if n_cells >= 100_000:
-        # the second BASELINE.json size: 5k cells (all on one chip)
-        extra["cell_steps_per_sec_5k"], extra["config_5k"] = \
-            _measure_retry(5_000, max(n_steps, 40), builder=build_sorting)
-        extra["cell_steps_per_sec_5k"] = round(
-            extra["cell_steps_per_sec_5k"], 1)
+        # the second BASELINE.json size: 5k cells (all on one chip).
+        # Race the two small-N engines (dense lattice vs fused all-pairs
+        # Pallas tile) and report the better -- both run the identical
+        # sorting-class physics on the identical relaxed IC.
+        best = None
+        for b in (build_sorting_tile, build_sorting):
+            r5, c5 = _measure_retry(5_000, max(n_steps, 40), builder=b)
+            if best is None or r5 > best[0]:
+                best = (r5, c5)
+        extra["cell_steps_per_sec_5k"] = round(best[0], 1)
+        extra["config_5k"] = best[1]
     print(json.dumps({
         "metric": f"cell_steps_per_sec_branching_{n_cells // 1000}k",
         "value": round(rate, 1),

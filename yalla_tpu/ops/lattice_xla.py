@@ -215,7 +215,7 @@ def _stale_shear_flag(P, Q, grid_size, cube_size, force_r_max, max_disp):
     margin2 = cube_size - force_r_max
     big = jnp.float32(3e38)
 
-    def axis_flag(u):
+    def axis_closure(u):
         P3 = P[u].reshape(gs, gs, gs)
         Q3 = Q[u].reshape(gs, gs, gs)
         # lateral 5-wide min-pools over the OTHER two axes
@@ -231,12 +231,14 @@ def _stale_shear_flag(P, Q, grid_size, cube_size, force_r_max, max_disp):
         Qs = jnp.pad(Q3, [(0, 2) if a == u else (0, 0)
                           for a in range(3)], constant_values=big)
         Qs = jax.lax.dynamic_slice_in_dim(Qs, 2, gs, axis=u)
-        return jnp.max(P3 - Qs) > margin2
+        return jnp.max(P3 - Qs)
 
-    flag = (2.0 * max_disp) > (2.0 * cube_size - force_r_max)
+    closure = jnp.float32(-big)
     for u in range(3):
-        flag = flag | axis_flag(u)
-    return flag.astype(jnp.float32)
+        closure = jnp.maximum(closure, axis_closure(u))
+    flag = ((closure > margin2)
+            | ((2.0 * max_disp) > (2.0 * cube_size - force_r_max)))
+    return closure, flag.astype(jnp.float32)
 
 
 def slot_to_stable(layout, tree, fill=0.0):
@@ -687,9 +689,13 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
             # cubes; collective flow (which a p99-wide tissue sustains
             # through the friction velocity mixing) cancels in the
             # per-axis shear bound where the absolute 2*max|dX| bound
-            # would flag every resident chunk
-            aux_last["__err_stale"] = _stale_shear_flag(
+            # would flag every resident chunk.  The closure VALUE is
+            # published too, so a caller can size the binning margin
+            # (cube_size - r_max) from measurement instead of probing
+            # flag-by-flag
+            closure, aux_last["__err_stale"] = _stale_shear_flag(
                 P, Q, gs, cube_size, force_r_max, disp)
+            aux_last["stale_shear_closure"] = closure
         bad = bad | nonfinite(X)
         return (X, old_v, dropped, oob, bad), aux_last
 
@@ -699,9 +705,10 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         body, carry0, None, length=n_steps // rebuild_every)
     aux = {k: (a.max(0) if k.startswith("__err_") else a[-1])
            for k, a in auxs.items()}
-    if "stale_max_disp" in aux:
-        # worst staleness across ALL chunks, not just the last
-        aux["stale_max_disp"] = jnp.max(auxs["stale_max_disp"])
+    for k in ("stale_max_disp", "stale_shear_closure"):
+        if k in aux:
+            # worst staleness across ALL chunks, not just the last
+            aux[k] = jnp.max(auxs[k])
     # in-loop failure flags (the reference's D_ASSERT layer): cube-capacity
     # drops / out-of-grid clipping at any rebuild and non-finite state at
     # any chunk boundary (ref solvers.cuh:82,90,153-154,361-364)
