@@ -185,53 +185,61 @@ def build(n_cells, seed=0):
     # E_CAP^2 lanes per pass whether or not extras are live, so keep the
     # headroom moderate (2048^2 ~ 0.3 ms; the settled tissue spills ~0)
     E_B_MAX, E_CAP = 64, 2048
-    best = None
-    # m = 1.0 would leave zero staleness margin (cube - r_max = 0): with
-    # REBUILD_EVERY > 1 any in-chunk displacement could hide an entering
-    # pair, and the self-certifying __err_stale flag rightly rejects the
-    # run.  Only margin-positive cubes are searched.
-    for m in ((1.1, 1.2, 1.3) if REBUILD_EVERY > 1 else (1.0, 1.1, 1.2)):
-        cube_m = p.r_max * m
-        occ_m, extent = _max_occ(X, n_cells, gs0, cube_m)
-        for C_m in (4, 6, 8, 10, 12, 16):
-            gs_m = lattice_grid_for(extent, cube_m, C_m)
-            if (gs_m * C_m) % 128 or gs_m % 8:
-                continue
-            if C_m > occ_m:
-                n_e, e_blk, e_b = 0, 0, 0
-            else:
-                n_e, e_blk = _extras_plan(X, n_cells, gs_m, cube_m, C_m,
-                                          zb, yb)
-                # headroom: 2x the measured per-block spill or +6, the
-                # kernel sidecar costs ~2.2 force evals per table slot
-                e_b = -(-max(e_blk * 2, e_blk + 6) // 8) * 8
-                if n_e > E_CAP // 2 or e_b > E_B_MAX:
+
+    def make_run(ms):
+        """Cost-optimal (cube multiple, gs, C, extras) run over candidate
+        margins ``ms``; callable again with a measured-closure-sized
+        margin (see measure()'s certification ladder)."""
+        best = None
+        for m in ms:
+            cube_m = p.r_max * m
+            occ_m, extent = _max_occ(X, n_cells, gs0, cube_m)
+            for C_m in (4, 6, 8, 10, 12, 16):
+                gs_m = lattice_grid_for(extent, cube_m, C_m)
+                if (gs_m * C_m) % 128 or gs_m % 8:
                     continue
-            cost = gs_m ** 3 * C_m * (9 * (4 * C_m - 1) + 2.2 * e_b)
-            if best is None or cost < best[0]:
-                best = (cost, m, gs_m, C_m, occ_m, extent, n_e, e_b)
-    _, m, gs, C, max_occ, extent, n_e, e_b = best
-    cube = p.r_max * m
-    extras_cap = E_CAP if e_b else 0
-    print(f"# bench config: n={n_cells} extent={extent:.1f} "
-          f"max_occ={max_occ} (cube x{m}) -> gs={gs} C={C} "
-          f"extras={n_e} (block cap {e_b})", file=sys.stderr)
+                if C_m > occ_m:
+                    n_e, e_blk, e_b = 0, 0, 0
+                else:
+                    n_e, e_blk = _extras_plan(X, n_cells, gs_m, cube_m,
+                                              C_m, zb, yb)
+                    # headroom: 2x the measured per-block spill or +6, the
+                    # kernel sidecar costs ~2.2 force evals per table slot
+                    e_b = -(-max(e_blk * 2, e_blk + 6) // 8) * 8
+                    if n_e > E_CAP // 2 or e_b > E_B_MAX:
+                        continue
+                cost = gs_m ** 3 * C_m * (9 * (4 * C_m - 1) + 2.2 * e_b)
+                if best is None or cost < best[0]:
+                    best = (cost, m, gs_m, C_m, occ_m, extent, n_e, e_b)
+        if best is None:
+            return None
+        _, m, gs, C, max_occ, extent, n_e, e_b = best
+        cube = p.r_max * m
+        extras_cap = E_CAP if e_b else 0
+        print(f"# bench config: n={n_cells} extent={extent:.1f} "
+              f"max_occ={max_occ} (cube x{m}) -> gs={gs} C={C} "
+              f"extras={n_e} (block cap {e_b})", file=sys.stderr)
 
-    def run(n_steps, rebuild=REBUILD_EVERY, cube_mult=1.0):
-        k = rebuild
-        while n_steps % k:
-            k -= 1
-        return lattice_heun_steps(
-            n_steps, k, force, friction_w_neighbour, "com", gs, C, zb,
-            X, old_v, n, jnp.float32(p.dt),
-            jnp.float32(cube * cube_mult), jnp.int32(0),
-            polarity_precompute, pallas, None, None,
-            jnp.float32(p.r_max), extras_cap, max(e_b, 8))
+        def run(n_steps, rebuild=REBUILD_EVERY, cube_mult=1.0):
+            k = rebuild
+            while n_steps % k:
+                k -= 1
+            return lattice_heun_steps(
+                n_steps, k, force, friction_w_neighbour, "com", gs, C, zb,
+                X, old_v, n, jnp.float32(p.dt),
+                jnp.float32(cube * cube_mult), jnp.int32(0),
+                polarity_precompute, pallas, None, None,
+                jnp.float32(p.r_max), extras_cap, max(e_b, 8))
 
-    run.config = {"gs": int(gs), "C": int(C), "max_occ": int(max_occ),
-                  "cube": float(cube), "extras": int(n_e),
-                  "extras_block_cap": int(e_b)}
-    return run
+        run.config = {"gs": int(gs), "C": int(C), "max_occ": int(max_occ),
+                      "cube": float(cube), "extras": int(n_e),
+                      "extras_block_cap": int(e_b)}
+        run.remake = make_run
+        run.r_max = float(p.r_max)
+        return run
+
+    return make_run((1.1, 1.2, 1.3) if REBUILD_EVERY > 1
+                    else (1.0, 1.1, 1.2))
 
 
 def build_sorting(n_cells, seed=0):
@@ -390,33 +398,61 @@ def build_sorting_tile(n_cells, seed=0):
     return run
 
 
+def _probe_clean(aux):
+    return not (bool(aux.get("__err_stale", False))
+                or int(aux.get("__err_lattice_dropped", 0)) != 0
+                or int(aux.get("__err_out_of_grid", 0)) != 0
+                or bool(aux.get("__err_extras_block", False)))
+
+
 def measure(n_cells, n_steps, seed=0, builder=None):
     run = (builder or build)(n_cells, seed)
 
     # The staleness certifier (__err_stale) may reject the default
-    # rebuild cadence: an actively-signalling tissue can move more per
-    # chunk than the binning margin allows.  Climb a ladder until a
-    # warmup run is certified clean -- first WIDEN the margin by growing
-    # the (traced, recompile-free) cube size (exact: forces gate at
-    # their own r_max), then shorten the rebuild cadence.  The timed
-    # number is then honest BY MEASUREMENT, not assumption.
-    start = getattr(run, "start_rebuild", REBUILD_EVERY)
-    ladder = [(start, 1.0)]
-    if start > 1:
-        ladder += [(start, 1.1), (start // 2, 1.0), (start // 2, 1.1),
-                   (1, 1.0)]
-    for rebuild, cm in ladder:
-        out = run(n_steps, rebuild, cm)   # compile + warm up
+    # rebuild cadence: an actively-signalling tissue shears more per
+    # chunk than the binning margin (cube_size - r_max) allows.  The
+    # ladder is MEASUREMENT-DRIVEN: the first probe publishes the actual
+    # shear closure, and the next rungs rebuild the whole config (cube,
+    # gs, C, extras re-planned) with the margin sized to 1.3x that
+    # measurement -- first at the same cadence, then at half cadence
+    # (closure scales ~0.6x per halving, re-measured each rung), with
+    # the reference-exact rebuild-per-pass as the final fallback.  The
+    # timed number is then honest BY MEASUREMENT, not assumption.
+    run0 = run
+    rebuild = getattr(run, "start_rebuild", REBUILD_EVERY)
+    cm = 1.0
+    sized_this_cadence = False
+    while True:
+        out = run(n_steps, rebuild, cm)     # compile + warm up
         _ = float(np.asarray(out[0].x)[0])  # force completion (readback)
         aux = out[2]
-        bad = (bool(aux.get("__err_stale", False))
-               or int(aux.get("__err_lattice_dropped", 0)) != 0
-               or int(aux.get("__err_out_of_grid", 0)) != 0
-               or bool(aux.get("__err_extras_block", False)))
-        if not bad:
+        if _probe_clean(aux):
             break
-        print(f"# flags at rebuild_every={rebuild} cube_mult={cm}; "
-              f"trying the next ladder rung", file=sys.stderr)
+        closure = float(aux.get("stale_shear_closure", np.nan))
+        print(f"# flags at rebuild_every={rebuild} "
+              f"(closure {closure:.3f}); re-planning", file=sys.stderr)
+        if rebuild == 1:
+            raise AssertionError(
+                f"flags fire even at rebuild-per-pass: { {k: float(v) for k, v in aux.items() if k.startswith('__err')} }")
+        can_size = hasattr(run0, "remake") and np.isfinite(closure)
+        margin = 1.3 * closure if can_size else np.inf
+        if can_size and not sized_this_cadence \
+                and margin <= 0.45 * run0.r_max:
+            # rung 2: same cadence, margin sized to the measurement
+            sized = run0.remake((round(1.0 + margin / run0.r_max, 3),))
+            if sized is not None:
+                run, sized_this_cadence = sized, True
+                continue
+        # rung 3: halve the cadence (closure scales ~0.6x), re-size
+        rebuild //= 2
+        sized_this_cadence = False
+        run = run0
+        if rebuild > 1 and can_size:
+            m = 1.0 + min(0.6 * margin / run0.r_max, 0.45)
+            sized = run0.remake((round(m, 3),))
+            if sized is not None:
+                run, sized_this_cadence = sized, True
+        # rebuild == 1 falls back to the reference-exact per-pass rebuild
 
     t0 = time.perf_counter()
     out = run(n_steps, rebuild, cm)

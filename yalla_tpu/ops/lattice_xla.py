@@ -128,6 +128,9 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
     slot_sorted = jnp.where(ok, sorted_cid * C + rank, n_slots)  # drop
 
     def pour(sorted_a, fill=0.0):
+        # NOTE: indices_are_sorted would be ~25% faster but is UNSAFE here:
+        # overflow entries carry an interleaved drop sentinel, so the index
+        # array is not monotone whenever any cube exceeds capacity
         return jnp.full(n_slots, fill, sorted_a.dtype) \
             .at[slot_sorted].set(sorted_a, mode="drop",
                                  unique_indices=True)
@@ -148,9 +151,18 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
     e_ok = over & (e_idx < extras_cap)
     e_slot = jnp.where(e_ok, e_idx, extras_cap).astype(jnp.int32)
 
+    # compact-then-gather: ONE n_pad-sized scatter records each extra's
+    # sorted position, then every channel is a tiny [extras_cap] gather
+    # (the per-channel n_pad scatter variant costs ~5 ms/channel at 500k
+    # -- scatter cost scales with the update count, not the table size)
+    e_src = jnp.full(extras_cap, n_pad, jnp.int32) \
+        .at[e_slot].set(iota, mode="drop", unique_indices=True)
+    e_live = e_src < n_pad
+    pick = jnp.minimum(e_src, n_pad - 1)
+
     def pour_e(sorted_a, fill=0.0):
-        return jnp.full(extras_cap, fill, sorted_a.dtype) \
-            .at[e_slot].set(sorted_a, mode="drop", unique_indices=True)
+        return jnp.where(e_live, sorted_a[pick],
+                         jnp.asarray(fill, sorted_a.dtype))
 
     E = jax.tree.unflatten(tree_X, [pour_e(v) for v in sorted_vals[:nx]])
     Eov = jax.tree.unflatten(tree_ov, [pour_e(v) for v in sorted_vals[nx:]])
