@@ -86,7 +86,7 @@ from .common import out_of_grid_mask as _oob_mask
 
 
 def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
-                  extras_cap=0):
+                  extras_cap=0, pallas_pour=False):
     """Sort by cube id and pour points into the dense lattice.
 
     Random-access-minimal construction (XLA:TPU gathers/scatters run at
@@ -135,15 +135,40 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
             .at[slot_sorted].set(sorted_a, mode="drop",
                                  unique_indices=True)
 
-    T = jax.tree.unflatten(tree_X, [pour(v) for v in sorted_vals[:nx]])
-    Tov = jax.tree.unflatten(tree_ov, [pour(v) for v in sorted_vals[nx:]])
-    pid = pour(order, n_pad)
+    n_unrouted = jnp.int32(0)
+    from .lattice_pour import pour_supported
+    if pallas_pour and pour_supported(n_pad, gs, C):
+        # butterfly pour kernel: the K per-channel scatters (~5 ms each at
+        # 500k) become one conflict-free roll/select routing pass on the
+        # VPU (ops/lattice_pour.py); exact-equality vs the scatter path is
+        # pinned by tests/test_pour.py
+        from .lattice_pour import DST_SENTINEL, pour_pallas
+        dst = jnp.where(ok, (sorted_cid * C + rank).astype(jnp.float32),
+                        DST_SENTINEL)
+        S = jnp.stack(list(sorted_vals)
+                      + [order.astype(jnp.float32), dst])
+        row_id = jnp.minimum(sorted_cid // gs, gs * gs)
+        cnt = jnp.zeros(gs * gs + 1, jnp.int32).at[row_id].add(1)
+        row_starts = (jnp.cumsum(cnt) - cnt).astype(jnp.int32)
+        outp, live, n_unrouted = pour_pallas(S, row_starts, n_pad, gs, C)
+        T = jax.tree.unflatten(tree_X, [outp[k] for k in range(nx)])
+        Tov = jax.tree.unflatten(tree_ov,
+                                 [outp[nx + c] for c in range(3)])
+        pid = jnp.where(live > 0.5,
+                        outp[nx + 3].astype(jnp.int32), n_pad)
+    else:
+        T = jax.tree.unflatten(tree_X, [pour(v) for v in sorted_vals[:nx]])
+        Tov = jax.tree.unflatten(tree_ov,
+                                 [pour(v) for v in sorted_vals[nx:]])
+        pid = pour(order, n_pad)
     slot_of = jnp.full(n_pad, n_slots, jnp.int32) \
         .at[order].set(slot_sorted, mode="drop", unique_indices=True)
 
     over = (rank >= C) & (sorted_cid < n_cubes)
     if not extras_cap:
-        n_dropped = jnp.sum(over)
+        # pour-kernel unrouted cells are missing from the lattice exactly
+        # like capacity drops; surface them through the same flag
+        n_dropped = jnp.sum(over) + n_unrouted
         return LatticeLayout(T=T, Tov=Tov, pid=pid, slot_of=slot_of,
                              n_dropped=n_dropped, n_oob=n_oob)
 
@@ -167,7 +192,7 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
     E = jax.tree.unflatten(tree_X, [pour_e(v) for v in sorted_vals[:nx]])
     Eov = jax.tree.unflatten(tree_ov, [pour_e(v) for v in sorted_vals[nx:]])
     epid = pour_e(order, n_pad)
-    n_dropped = jnp.sum(over & ~e_ok)
+    n_dropped = jnp.sum(over & ~e_ok) + n_unrouted
     return LatticeLayout(T=T, Tov=Tov, pid=pid, slot_of=slot_of,
                          n_dropped=n_dropped, n_oob=n_oob,
                          E=E, Eov=Eov, epid=epid,
@@ -540,7 +565,8 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         X, old_v, dropped, oob, bad = carry
 
         def dstable(Xc):
-            lay = lattice_build(Xc, old_v, n, cube_size, gs, C, extras_cap)
+            lay = lattice_build(Xc, old_v, n, cube_size, gs, C,
+                                extras_cap, pallas_pour=pallas)
             if extras_cap:
                 dXs, aux_s, dXe, aux_e = deriv(lay, lay.T, n, lay.E)
                 dX_st = jax.tree.map(
@@ -574,7 +600,8 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
 
     def chunk(carry, _):
         X, old_v, dropped, oob, bad = carry
-        lay = lattice_build(X, old_v, n, cube_size, gs, C, extras_cap)
+        lay = lattice_build(X, old_v, n, cube_size, gs, C, extras_cap,
+                            pallas_pour=pallas)
         dropped = jnp.maximum(dropped, lay.n_dropped)
         oob = jnp.maximum(oob, lay.n_oob)
 
