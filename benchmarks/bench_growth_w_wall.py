@@ -28,9 +28,14 @@ rng = np.random.default_rng(0)
 # this tissue's density ~12 candidates sit within the cutoff, so NC = 32
 # is generous; the in-loop __err_gabriel_candidates flag certifies that
 # no point ever exceeded it (the reference silently overruns instead).
+# (i_block, window_cap) swept on TPU (benchmarks/diag_gabriel.py):
+# 128/384 is the fastest flag-clean pair -- the shared window needs the
+# block's sorted span (~i_block) plus ~3 tissue rows (~100 cells each at
+# this density); misfits (e.g. the wall node) ride the salvage pass
 cells = Solution(Float3, n_cells, cube_size=G.r_max,
                  engine=GabrielEngine(grid_size=64, row_cap=24,
-                                      i_block=2048, max_candidates=32))
+                                      i_block=128, max_candidates=32,
+                                      window_cap=384))
 n_pad = cells.n_pad
 side = int(np.ceil((2 * n_cells) ** (1 / 3)))
 g = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"),

@@ -324,3 +324,47 @@ def test_gabriel_windowed_matches_gather():
             f"windowed Gabriel force differs in {f}: {np.abs(fa - fb).max()}"
     assert np.allclose(np.asarray(a[1])[:n], np.asarray(b[1])[:n],
                        atol=1e-5), "sum_friction differs"
+
+
+def test_gabriel_windowed_misfit_salvage():
+    """A lone far-away point (e.g. a wall node below the tissue) shares a
+    sorted block with cluster points whose rows sit thousands of positions
+    away; the median-anchored window masks it out and the salvage pass
+    recovers its exact forces (no flag, matches the gather formulation)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from yalla_tpu.ops.common import friction_w_neighbour
+    from yalla_tpu.ops.grid_xla import gabriel_pairwise, gabriel_windowed
+
+    rng = np.random.default_rng(3)
+    n, n_pad = 2000, 2048
+    pos = rng.uniform(2, 14, (n_pad, 3)).astype(np.float32)
+    # outliers in the far corner: tiny cube ids, sorted into block 0 with
+    # the tissue's corner cells (their rows ~2000 sorted positions apart)
+    pos[:3] = [[-14.0, -14.0, -14.0], [-13.2, -14.0, -14.0],
+               [-14.0, -13.2, -14.0]]
+    X = Float3(x=jnp.asarray(pos[:, 0]), y=jnp.asarray(pos[:, 1]),
+               z=jnp.asarray(pos[:, 2]))
+    ov = Float3.zeros(n_pad)
+
+    a = gabriel_pairwise(clipped_spring, friction_w_neighbour, X, ov,
+                         jnp.int32(n), jnp.float32(1.0), grid_size=32,
+                         row_cap=48, max_candidates=64)
+    b = gabriel_windowed(clipped_spring, friction_w_neighbour, X, ov,
+                         jnp.int32(n), jnp.float32(1.0), grid_size=32,
+                         i_block=64, window_cap=128, max_candidates=64,
+                         row_cap=48, salvage_cap=64)
+    assert float(np.max(np.asarray(b[3]["__err_gabriel_window"]))) == 0
+    assert float(np.max(np.asarray(b[3]["__err_grid_overflow"]))) == 0
+    for f in ("x", "y", "z"):
+        fa = np.asarray(getattr(a[0], f))[:n]
+        fb = np.asarray(getattr(b[0], f))[:n]
+        assert np.allclose(fa, fb, atol=1e-5), \
+            f"salvaged Gabriel force differs in {f}: {np.abs(fa - fb).max()}"
+
+    # too many misfits for the salvage capacity must raise the flag
+    c = gabriel_windowed(clipped_spring, friction_w_neighbour, X, ov,
+                         jnp.int32(n), jnp.float32(1.0), grid_size=32,
+                         i_block=64, window_cap=128, max_candidates=64,
+                         row_cap=48, salvage_cap=1)
+    assert float(np.max(np.asarray(c[3]["__err_gabriel_window"]))) == 1

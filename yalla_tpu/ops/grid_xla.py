@@ -201,6 +201,74 @@ def gabriel_pairwise(pw_int, pw_friction, X, old_v, n, cube_size, *,
                            i_size=i_size, max_candidates=max_candidates)
 
 
+def _gabriel_block(pw_int, pw_friction, X, old_v, n, cube_size, tables, *,
+                   ids, act, grid_size, row_cap, gabriel_coefficient,
+                   max_candidates):
+    """Gabriel force sums for an explicit vector of point ids (per-point
+    row-gather formulation); shared by the legacy gather path and the
+    windowed path's misfit-salvage pass."""
+    B = ids.shape[0]
+    K = 9 * row_cap
+    NC = min(max_candidates, K)
+    cid_blk = tables.cid[ids]
+    rs, re = row_ranges(tables, cid_blk, grid_size)
+    jidx, valid = _candidates(tables.order, rs, re, row_cap)
+    jidx = jidx.reshape(B, K)
+    i_arr = ids[:, None]
+    valid = valid.reshape(B, K) & act[:, None]
+
+    xj, yj, zj = X.x[jidx], X.y[jidx], X.z[jidx]
+    xi = X.x[ids][:, None]
+    yi = X.y[ids][:, None]
+    zi = X.z[ids][:, None]
+    dx, dy, dz = xi - xj, yi - yj, zi - zj
+    dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    cand = valid & (dist < cube_size)
+    n_cand = jnp.sum(cand, axis=1)  # per point, before the NC cap
+
+    # NC nearest candidates (invalid -> +inf): top_k on the negated
+    # key replaces a full [B, K] argsort -- the reference
+    # selection-sorts a fixed 100-entry array (solvers.cuh:549-566),
+    # but only the NC nearest ever matter
+    sort_key = jnp.where(cand, dist, jnp.inf)
+    _, sort_ord = jax.lax.top_k(-sort_key, NC)
+    take = lambda a: jnp.take_along_axis(a, sort_ord, axis=1)
+    jidx_s, cand_s, dist_s = take(jidx), take(cand), take(dist)
+    xj_s, yj_s, zj_s = take(xj), take(yj), take(zj)
+
+    # Keep (i, j) unless a closer candidate k lies inside the sphere on
+    # the i-j midpoint (ref solvers.cuh:572-597).  Elementwise [B, K, K]
+    # distance evaluation (exact in f32).
+    mx, my, mz = (xi + xj_s) * 0.5, (yi + yj_s) * 0.5, (zi + zj_s) * 0.5
+    d2 = ((mx[:, :, None] - xj_s[:, None, :]) ** 2
+          + (my[:, :, None] - yj_s[:, None, :]) ** 2
+          + (mz[:, :, None] - zj_s[:, None, :]) ** 2)
+    radius2 = (0.5 * dist_s * gabriel_coefficient) ** 2  # [B, NC]
+    m_ids = jnp.arange(NC)[:, None]
+    k_ids = jnp.arange(NC)[None, :]
+    closer = (k_ids < m_ids)[None] & cand_s[:, None, :]
+    blocked = jnp.any(closer & (d2 < radius2[:, :, None]), axis=2)
+    is_self = jidx_s == i_arr
+    keep = cand_s & (is_self | ~blocked)
+
+    Xi = jax.tree.map(lambda a: a[ids][:, None], X)
+    # positions were already gathered above; only the remaining
+    # fields pay a [B, NC] gather here
+    Xj = jax.tree.map(lambda a: a[jidx_s], X)
+    Xj = Xj.replace(x=xj_s, y=yj_s, z=zj_s)
+    ovj = (old_v.x[jidx_s], old_v.y[jidx_s], old_v.z[jidx_s])
+    out = evaluate_pairs(pw_int, pw_friction, Xi, Xj, ovj, i_arr, jidx_s,
+                         keep, sum_axes=(1,))
+    over = jnp.any((re - rs + 1 > row_cap) & act[:, None],
+                   axis=1).astype(jnp.float32)
+    out[3]["__err_grid_overflow"] = over
+    # candidate-list capacity (ref's fixed 100-entry array): pairs past
+    # the NC nearest are silently dropped -- surface it like a D_ASSERT
+    out[3]["__err_gabriel_candidates"] = (
+        (n_cand > NC) & act).astype(jnp.float32)
+    return out
+
+
 def _gabriel_gather(pw_int, pw_friction, X, old_v, n, cube_size, *,
                     grid_size, row_cap, gabriel_coefficient,
                     i_block, i_offset, i_size, max_candidates):
@@ -210,78 +278,24 @@ def _gabriel_gather(pw_int, pw_friction, X, old_v, n, cube_size, *,
     if i_size is None:
         i_size = n_pad
     tables = build_grid(X, n, cube_size, grid_size)
-    K = 9 * row_cap
-    NC = min(max_candidates, K)
-
     B = _block_size(i_size, i_block)
 
     def eval_block(local_start):
         start = i_offset + local_start
-        blk = lambda a: jax.lax.dynamic_slice_in_dim(a, start, B)
-        cid_blk = blk(tables.cid)
-        rs, re = row_ranges(tables, cid_blk, grid_size)
-        jidx, valid = _candidates(tables.order, rs, re, row_cap)
-        jidx = jidx.reshape(B, K)
-        i_arr = (start + jnp.arange(B, dtype=jnp.int32))[:, None]
-        valid = valid.reshape(B, K) & (i_arr < n)
-
-        xj, yj, zj = X.x[jidx], X.y[jidx], X.z[jidx]
-        xi = blk(X.x)[:, None]
-        yi = blk(X.y)[:, None]
-        zi = blk(X.z)[:, None]
-        dx, dy, dz = xi - xj, yi - yj, zi - zj
-        dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-        cand = valid & (dist < cube_size)
-        n_cand = jnp.sum(cand, axis=1)  # per point, before the NC cap
-
-        # NC nearest candidates (invalid -> +inf): top_k on the negated
-        # key replaces a full [B, K] argsort -- the reference
-        # selection-sorts a fixed 100-entry array (solvers.cuh:549-566),
-        # but only the NC nearest ever matter
-        sort_key = jnp.where(cand, dist, jnp.inf)
-        _, sort_ord = jax.lax.top_k(-sort_key, NC)
-        take = lambda a: jnp.take_along_axis(a, sort_ord, axis=1)
-        jidx_s, cand_s, dist_s = take(jidx), take(cand), take(dist)
-        xj_s, yj_s, zj_s = take(xj), take(yj), take(zj)
-
-        # Keep (i, j) unless a closer candidate k lies inside the sphere on
-        # the i-j midpoint (ref solvers.cuh:572-597).  Elementwise [B, K, K]
-        # distance evaluation (exact in f32).
-        mx, my, mz = (xi + xj_s) * 0.5, (yi + yj_s) * 0.5, (zi + zj_s) * 0.5
-        d2 = ((mx[:, :, None] - xj_s[:, None, :]) ** 2
-              + (my[:, :, None] - yj_s[:, None, :]) ** 2
-              + (mz[:, :, None] - zj_s[:, None, :]) ** 2)
-        radius2 = (0.5 * dist_s * gabriel_coefficient) ** 2  # [B, NC]
-        m_ids = jnp.arange(NC)[:, None]
-        k_ids = jnp.arange(NC)[None, :]
-        closer = (k_ids < m_ids)[None] & cand_s[:, None, :]
-        blocked = jnp.any(closer & (d2 < radius2[:, :, None]), axis=2)
-        is_self = jidx_s == i_arr
-        keep = cand_s & (is_self | ~blocked)
-
-        Xi = jax.tree.map(lambda a: blk(a)[:, None], X)
-        # positions were already gathered above; only the remaining
-        # fields pay a [B, NC] gather here
-        Xj = jax.tree.map(lambda a: a[jidx_s], X)
-        Xj = Xj.replace(x=xj_s, y=yj_s, z=zj_s)
-        ovj = (old_v.x[jidx_s], old_v.y[jidx_s], old_v.z[jidx_s])
-        out = evaluate_pairs(pw_int, pw_friction, Xi, Xj, ovj, i_arr, jidx_s,
-                             keep, sum_axes=(1,))
-        over = jnp.any((re - rs + 1 > row_cap) & (i_arr < n),
-                       axis=1).astype(jnp.float32)
-        out[3]["__err_grid_overflow"] = over
-        # candidate-list capacity (ref's fixed 100-entry array): pairs past
-        # the NC nearest are silently dropped -- surface it like a D_ASSERT
-        out[3]["__err_gabriel_candidates"] = (
-            (n_cand > NC) & (i_arr[:, 0] < n)).astype(jnp.float32)
-        return out
+        ids = start + jnp.arange(B, dtype=jnp.int32)
+        return _gabriel_block(
+            pw_int, pw_friction, X, old_v, n, cube_size, tables,
+            ids=ids, act=ids < n, grid_size=grid_size, row_cap=row_cap,
+            gabriel_coefficient=gabriel_coefficient,
+            max_candidates=max_candidates)
 
     return _scan_blocks(eval_block, i_size, B)
 
 
 def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
                      grid_size=50, gabriel_coefficient=0.8,
-                     i_block=64, window_cap=256, max_candidates=32):
+                     i_block=64, window_cap=256, max_candidates=32,
+                     row_cap=32, salvage_cap=256):
     """Gabriel pairs via SORTED-ORDER shared windows: the TPU-native
     rewrite of :func:`gabriel_pairwise`.
 
@@ -301,10 +315,19 @@ def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
     blocker (ref solvers.cuh:572-597 restricts k to closer candidates,
     which this set supersedes).
 
-    Flags: ``__err_gabriel_window`` (a block's shared row span exceeded
-    ``window_cap``: candidates were silently clipped),
-    ``__err_gabriel_candidates`` (a point had more within-cutoff
-    candidates than ``max_candidates``).
+    Each block's shared window is anchored at the block-MEDIAN active
+    point's row starts, so a lone point sorted far from the rest of its
+    block (e.g. a wall node below the tissue sharing a sorted block with
+    tissue corner cells) cannot blow the shared span: points whose own
+    rows do not fit the window are masked out of the windowed pass and
+    salvaged EXACTLY by a compacted per-point gather pass
+    (:func:`_gabriel_block`, capacity ``salvage_cap``/``row_cap``).
+
+    Flags: ``__err_gabriel_window`` (more misfit points than
+    ``salvage_cap``: some points lost all their pairs),
+    ``__err_grid_overflow`` (a salvaged point's 3-cube row exceeded
+    ``row_cap``), ``__err_gabriel_candidates`` (a point had more
+    within-cutoff candidates than ``max_candidates``).
     """
     n_pad = X.x.shape[0]
     gs = grid_size
@@ -337,22 +360,37 @@ def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
         act_i = blk[K - 1] > 0.5
         i_ids = isl(order)
 
-        # per-i row ranges -> block-shared window per row
+        # per-i row ranges -> block-shared window per row, anchored at the
+        # block-median ACTIVE point (actives occupy the block prefix: the
+        # padded-point sentinel cube id sorts last).  A lone misfit cannot
+        # shift the median, so the window always covers the majority.
         qc = jnp.clip(cid_i[:, None, None] + offs[None], 0, n_cubes - 1)
         rs = jnp.min(tables.cube_start[qc], axis=2)    # [B, 9]
         re = jnp.max(tables.cube_end[qc], axis=2)      # [B, 9] inclusive
-        # rows of inactive points must not widen the shared span
-        rs = jnp.where(act_i[:, None], rs, n_pad)
-        re = jnp.where(act_i[:, None], re, -1)
-        w0 = jnp.min(rs, axis=0)                       # [9]
-        w_over = jnp.max(re, axis=0) - w0 + 1 > Wr
+        # center each row's window on the PER-ROW median range over the
+        # block's non-empty entries (a point's row can be empty while its
+        # neighbours' is not, so the median point's own ranges won't do):
+        # the block's rs spread straddles the median symmetrically, so
+        # this maximizes the fitting majority
+        nonempty = act_i[:, None] & (rs <= re)
+        rs_f = jnp.where(nonempty, rs, n_pad)          # empties sort last
+        re_f = jnp.where(nonempty, re, n_pad)
+        mid_r = (jnp.maximum(jnp.sum(nonempty, axis=0) - 1, 0) // 2)[None]
+        rs_med = jnp.take_along_axis(jnp.sort(rs_f, axis=0), mid_r, 0)[0]
+        re_med = jnp.take_along_axis(jnp.sort(re_f, axis=0), mid_r, 0)[0]
+        w0 = jnp.clip((rs_med + re_med - Wr) // 2, 0, n_pad - Wr)  # [9]
+        # a point fits iff every non-empty row range sits inside its window
+        row_empty = rs > re
+        fit_i = jnp.all(row_empty | ((rs >= w0[None])
+                                     & (re <= w0[None] + (Wr - 1))),
+                        axis=1) & act_i
+        misfit = act_i & ~fit_i
 
         def row_win(r):
-            return jax.lax.dynamic_slice(
-                srt, (0, jnp.clip(w0[r], 0, n_pad - Wr)), (K, Wr))
+            return jax.lax.dynamic_slice(srt, (0, w0[r]), (K, Wr))
 
         win = jnp.stack([row_win(r) for r in range(9)])   # [9, K, Wr]
-        wpos = (jnp.clip(w0, 0, n_pad - Wr)[:, None]
+        wpos = (w0[:, None]
                 + jnp.arange(Wr, dtype=jnp.int32)[None])  # [9, Wr]
         # per-(i, row, w) validity: the window slot sits in i's row range
         valid = ((wpos[None] >= rs[:, :, None])
@@ -366,7 +404,7 @@ def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
         yi = Xi.y[:, None, None]
         zi = Xi.z[:, None, None]
         dist = jnp.sqrt((xi - xj) ** 2 + (yi - yj) ** 2 + (zi - zj) ** 2)
-        cand = valid & (dist < cube_size) & act_i[:, None, None]
+        cand = valid & (dist < cube_size) & fit_i[:, None, None]
         n_cand = jnp.sum(cand, axis=(1, 2))
 
         # NC nearest candidates (flattened over the 9 windows)
@@ -409,14 +447,16 @@ def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
         out = evaluate_pairs(pw_int, pw_friction, Xi_b, Xj, ovj,
                              slot_i, slot_j, keep, sum_axes=(1,))
         aux = out[3]
-        aux["__err_grid_overflow"] = jnp.broadcast_to(
-            jnp.any(w_over).astype(jnp.float32), (B,))
+        # fitting points see their complete candidate rows inside the
+        # window, so row clipping is impossible here; the key exists so
+        # the salvage pass (which CAN overflow row_cap) merges into it
+        aux["__err_grid_overflow"] = jnp.zeros(B, jnp.float32)
         aux["__err_gabriel_candidates"] = (
-            (n_cand > NC) & act_i).astype(jnp.float32)
-        return out, i_ids
+            (n_cand > NC) & fit_i).astype(jnp.float32)
+        return out, i_ids, misfit.astype(jnp.float32)
 
     starts = jnp.arange(n_pad // B, dtype=jnp.int32) * B
-    (F, sum_f, sum_v, aux), ids = jax.lax.map(eval_block, starts)
+    (F, sum_f, sum_v, aux), ids, misfit = jax.lax.map(eval_block, starts)
     ids = ids.reshape(-1)
 
     def back(a, fill=0.0):
@@ -424,6 +464,31 @@ def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
         return jnp.full(flat.shape, fill, flat.dtype) \
             .at[ids].set(flat, mode="drop", unique_indices=True)
 
-    return (jax.tree.map(back, F), back(sum_f),
-            tuple(back(v) for v in sum_v),
-            {k: back(v) for k, v in aux.items()})
+    F, sum_f, sum_v, aux = (jax.tree.map(back, F), back(sum_f),
+                            tuple(back(v) for v in sum_v),
+                            {k: back(v) for k, v in aux.items()})
+
+    # misfit salvage: the (few) points masked out of the windowed pass
+    # get their EXACT Gabriel forces from a compacted gather pass.  A
+    # fixed-size pass costs ~salvage_cap * 9 * row_cap gathered elements
+    # (sub-ms) whether or not any misfits exist.
+    misfit_g = back(misfit)                              # global order
+    n_mis = jnp.sum(misfit_g > 0.5)
+    mis_idx = jnp.nonzero(misfit_g > 0.5, size=salvage_cap,
+                          fill_value=n_pad)[0].astype(jnp.int32)
+    act_s = mis_idx < n_pad
+    Fs, sum_fs, sum_vs, aux_s = _gabriel_block(
+        pw_int, pw_friction, X, old_v, n, cube_size, tables,
+        ids=jnp.clip(mis_idx, 0, n_pad - 1), act=act_s,
+        grid_size=gs, row_cap=row_cap,
+        gabriel_coefficient=gabriel_coefficient, max_candidates=NC)
+    tgt = jnp.where(act_s, mis_idx, n_pad)
+    put = lambda d, v: d.at[tgt].set(v, mode="drop", unique_indices=True)
+    F = jax.tree.map(put, F, Fs)
+    sum_f = put(sum_f, sum_fs)
+    sum_v = tuple(put(a, b) for a, b in zip(sum_v, sum_vs))
+    aux = {k: put(aux[k], aux_s[k]) for k in aux}
+    # more misfits than the salvage capacity: the excess lost all pairs
+    aux["__err_gabriel_window"] = jnp.broadcast_to(
+        (n_mis > salvage_cap).astype(jnp.float32), (n_pad,))
+    return F, sum_f, sum_v, aux

@@ -181,9 +181,12 @@ class GabrielEngine:
     # windowed=True runs the sorted-order shared-window formulation
     # (ops/grid_xla.gabriel_windowed): contiguous dynamic-slice windows
     # instead of per-point row gathers -- the TPU path.  window_cap bounds
-    # a block's shared row span (overflow flagged in-loop).
+    # a block's shared row span; points that don't fit the median-anchored
+    # window are salvaged exactly by a gather pass of up to salvage_cap
+    # points (overflow flagged in-loop).
     windowed: bool = True
     window_cap: int = 256
+    salvage_cap: int = 256
 
     def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
                  i_offset=0, i_size=None):
@@ -193,9 +196,10 @@ class GabrielEngine:
                 pw_int, pw_friction, X, old_v, n, cube_size,
                 grid_size=self.grid_size,
                 gabriel_coefficient=self.gabriel_coefficient,
-                i_block=min(self.i_block, 64),
+                i_block=min(self.i_block, 128),
                 window_cap=self.window_cap,
-                max_candidates=self.max_candidates)
+                max_candidates=self.max_candidates,
+                row_cap=self.row_cap, salvage_cap=self.salvage_cap)
         return gabriel_pairwise(
             pw_int, pw_friction, X, old_v, n, cube_size,
             grid_size=self.grid_size, row_cap=self.row_cap,
