@@ -295,7 +295,7 @@ def _gabriel_gather(pw_int, pw_friction, X, old_v, n, cube_size, *,
 def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
                      grid_size=50, gabriel_coefficient=0.8,
                      i_block=64, window_cap=256, max_candidates=32,
-                     row_cap=32, salvage_cap=256):
+                     row_cap=32, salvage_cap=256, subgroup=None):
     """Gabriel pairs via SORTED-ORDER shared windows: the TPU-native
     rewrite of :func:`gabriel_pairwise`.
 
@@ -323,6 +323,17 @@ def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
     salvaged EXACTLY by a compacted per-point gather pass
     (:func:`_gabriel_block`, capacity ``salvage_cap``/``row_cap``).
 
+    ``subgroup`` (default: the whole block) splits each block into
+    subgroups of that many CONSECUTIVE sorted points, each with its own
+    nine median-anchored windows: a subgroup of ~8-32 points spans only a
+    few cubes, so ``window_cap`` can drop from the block's sorted span
+    (~i_block + rows) to a few cube-rows (~32-64) -- the per-point
+    candidate domain (and the top-NC selection under it) shrinks by the
+    same factor.  Tightness is safe: cube-row wraps are CONTIGUOUS in
+    cube-sorted order (cube ids (cy, gs-1) and (cy+1, 0) are adjacent), so
+    a wrap-straddling subgroup's union of row ranges still fits one
+    window; anything that doesn't fit is salvaged exactly as before.
+
     Flags: ``__err_gabriel_window`` (more misfit points than
     ``salvage_cap``: some points lost all their pairs),
     ``__err_grid_overflow`` (a salvaged point's 3-cube row exceeded
@@ -332,6 +343,10 @@ def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
     n_pad = X.x.shape[0]
     gs = grid_size
     B = _block_size(n_pad, i_block)
+    g = B if subgroup is None else max(1, min(subgroup, B))
+    while B % g:
+        g -= 1
+    G = B // g
     Wr = min(window_cap, n_pad)
     NC = min(max_candidates, 9 * Wr)
     tables = build_grid(X, n, cube_size, gs)
@@ -360,58 +375,68 @@ def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
         act_i = blk[K - 1] > 0.5
         i_ids = isl(order)
 
-        # per-i row ranges -> block-shared window per row, anchored at the
-        # block-median ACTIVE point (actives occupy the block prefix: the
-        # padded-point sentinel cube id sorts last).  A lone misfit cannot
-        # shift the median, so the window always covers the majority.
+        # per-i row ranges -> per-SUBGROUP shared window per row, anchored
+        # at the subgroup-median ACTIVE point (actives occupy the block
+        # prefix: the padded-point sentinel cube id sorts last).  A lone
+        # misfit cannot shift the median, so windows cover the majority.
         qc = jnp.clip(cid_i[:, None, None] + offs[None], 0, n_cubes - 1)
         rs = jnp.min(tables.cube_start[qc], axis=2)    # [B, 9]
         re = jnp.max(tables.cube_end[qc], axis=2)      # [B, 9] inclusive
+        rs_g = rs.reshape(G, g, 9)
+        re_g = re.reshape(G, g, 9)
+        act_g = act_i.reshape(G, g)
         # center each row's window on the PER-ROW median range over the
-        # block's non-empty entries (a point's row can be empty while its
-        # neighbours' is not, so the median point's own ranges won't do):
-        # the block's rs spread straddles the median symmetrically, so
-        # this maximizes the fitting majority
-        nonempty = act_i[:, None] & (rs <= re)
-        rs_f = jnp.where(nonempty, rs, n_pad)          # empties sort last
-        re_f = jnp.where(nonempty, re, n_pad)
-        mid_r = (jnp.maximum(jnp.sum(nonempty, axis=0) - 1, 0) // 2)[None]
-        rs_med = jnp.take_along_axis(jnp.sort(rs_f, axis=0), mid_r, 0)[0]
-        re_med = jnp.take_along_axis(jnp.sort(re_f, axis=0), mid_r, 0)[0]
-        w0 = jnp.clip((rs_med + re_med - Wr) // 2, 0, n_pad - Wr)  # [9]
-        # a point fits iff every non-empty row range sits inside its window
-        row_empty = rs > re
-        fit_i = jnp.all(row_empty | ((rs >= w0[None])
-                                     & (re <= w0[None] + (Wr - 1))),
-                        axis=1) & act_i
-        misfit = act_i & ~fit_i
+        # subgroup's non-empty entries (a point's row can be empty while
+        # its neighbours' is not, so the median point's own ranges won't
+        # do): the rs spread straddles the median symmetrically, so this
+        # maximizes the fitting majority
+        nonempty = act_g[:, :, None] & (rs_g <= re_g)
+        rs_f = jnp.where(nonempty, rs_g, n_pad)        # empties sort last
+        re_f = jnp.where(nonempty, re_g, n_pad)
+        mid_r = (jnp.maximum(jnp.sum(nonempty, axis=1) - 1, 0)
+                 // 2)[:, None]                        # [G, 1, 9]
+        rs_med = jnp.take_along_axis(jnp.sort(rs_f, axis=1), mid_r,
+                                     axis=1)[:, 0]     # [G, 9]
+        re_med = jnp.take_along_axis(jnp.sort(re_f, axis=1), mid_r,
+                                     axis=1)[:, 0]
+        w0 = jnp.clip((rs_med + re_med - Wr) // 2, 0, n_pad - Wr)  # [G, 9]
+        # a point fits iff every non-empty row range sits inside its
+        # subgroup's window
+        row_empty = rs_g > re_g
+        fit_g = jnp.all(row_empty | ((rs_g >= w0[:, None])
+                                     & (re_g <= w0[:, None] + (Wr - 1))),
+                        axis=2) & act_g                # [G, g]
+        misfit = (act_g & ~fit_g).reshape(B)
 
         def row_win(r):
-            return jax.lax.dynamic_slice(srt, (0, w0[r]), (K, Wr))
+            # [G, K, Wr]: one contiguous slice per subgroup
+            return jax.vmap(
+                lambda s: jax.lax.dynamic_slice(srt, (0, s), (K, Wr))
+            )(w0[:, r])
 
-        win = jnp.stack([row_win(r) for r in range(9)])   # [9, K, Wr]
-        wpos = (w0[:, None]
-                + jnp.arange(Wr, dtype=jnp.int32)[None])  # [9, Wr]
+        win = jnp.stack([row_win(r) for r in range(9)],
+                        axis=1)                        # [G, 9, K, Wr]
+        wpos = (w0[:, :, None]
+                + jnp.arange(Wr, dtype=jnp.int32)[None, None])  # [G, 9, Wr]
         # per-(i, row, w) validity: the window slot sits in i's row range
-        valid = ((wpos[None] >= rs[:, :, None])
-                 & (wpos[None] <= re[:, :, None])
-                 & (win[None, :, K - 1] > 0.5))           # [B, 9, Wr]
+        valid = ((wpos[:, None] >= rs_g[..., None])
+                 & (wpos[:, None] <= re_g[..., None])
+                 & (win[:, None, :, K - 1] > 0.5))     # [G, g, 9, Wr]
 
-        xj = win[:, 0][None]
-        yj = win[:, 1][None]
-        zj = win[:, 2][None]
-        xi = Xi.x[:, None, None]
-        yi = Xi.y[:, None, None]
-        zi = Xi.z[:, None, None]
-        dist = jnp.sqrt((xi - xj) ** 2 + (yi - yj) ** 2 + (zi - zj) ** 2)
-        cand = valid & (dist < cube_size) & fit_i[:, None, None]
-        n_cand = jnp.sum(cand, axis=(1, 2))
+        xj = win[:, None, :, 0]                        # [G, 1, 9, Wr]
+        yj = win[:, None, :, 1]
+        zj = win[:, None, :, 2]
+        Xi_g = jax.tree.map(lambda a: a.reshape(G, g)[..., None, None], Xi)
+        dist = jnp.sqrt((Xi_g.x - xj) ** 2 + (Xi_g.y - yj) ** 2
+                        + (Xi_g.z - zj) ** 2)          # [G, g, 9, Wr]
+        cand = valid & (dist < cube_size) & fit_g[..., None, None]
+        n_cand = jnp.sum(cand, axis=(2, 3)).reshape(B)
 
         # NC nearest candidates (flattened over the 9 windows)
         key = jnp.where(cand, dist, jnp.inf).reshape(B, 9 * Wr)
         _, sel = jax.lax.top_k(-key, NC)                  # [B, NC]
         take = lambda a: jnp.take_along_axis(
-            jnp.broadcast_to(a.reshape(-1, 9 * Wr), (B, 9 * Wr)),
+            jnp.broadcast_to(a, (G, g, 9, Wr)).reshape(B, 9 * Wr),
             sel, axis=1)
         cand_s = jnp.take_along_axis(cand.reshape(B, 9 * Wr), sel, axis=1)
         dist_s = jnp.take_along_axis(dist.reshape(B, 9 * Wr), sel, axis=1)
@@ -433,17 +458,17 @@ def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
         # row-local take (XLA DCEs leaves the force never reads)
         Xi_b = jax.tree.map(lambda a: a[:, None], Xi)
         Xj = jax.tree.unflatten(
-            tree_X, [take(win[:, k][None]) for k in range(nx)])
+            tree_X, [take(win[:, None, :, k]) for k in range(nx)])
         Xj = Xj.replace(x=xj_s, y=yj_s, z=zj_s)
-        ovj = tuple(take(win[:, nx + c][None]) for c in range(3))
+        ovj = tuple(take(win[:, None, :, nx + c]) for c in range(3))
         # ids only need i == j / i != j semantics: sorted-slot numbers are
         # unique, and the self-pair survives the midpoint test naturally
         # (radius 0 admits no blocker -- the reference's is_self keep,
         # solvers.cuh:572-597)
         slot_i = (b0 + jnp.arange(B, dtype=jnp.int32))[:, None]
         slot_j = jnp.take_along_axis(
-            jnp.broadcast_to(wpos.reshape(1, -1), (B, 9 * Wr)), sel,
-            axis=1)
+            jnp.broadcast_to(wpos[:, None], (G, g, 9, Wr))
+            .reshape(B, 9 * Wr), sel, axis=1)
         out = evaluate_pairs(pw_int, pw_friction, Xi_b, Xj, ovj,
                              slot_i, slot_j, keep, sum_axes=(1,))
         aux = out[3]
@@ -452,7 +477,7 @@ def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
         # the salvage pass (which CAN overflow row_cap) merges into it
         aux["__err_grid_overflow"] = jnp.zeros(B, jnp.float32)
         aux["__err_gabriel_candidates"] = (
-            (n_cand > NC) & fit_i).astype(jnp.float32)
+            (n_cand > NC) & fit_g.reshape(B)).astype(jnp.float32)
         return out, i_ids, misfit.astype(jnp.float32)
 
     starts = jnp.arange(n_pad // B, dtype=jnp.int32) * B

@@ -187,6 +187,9 @@ class GabrielEngine:
     windowed: bool = True
     window_cap: int = 256
     salvage_cap: int = 256
+    # consecutive sorted points sharing one set of 9 windows; smaller
+    # subgroups allow a much tighter window_cap (see gabriel_windowed)
+    subgroup: int | None = None
 
     def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
                  i_offset=0, i_size=None):
@@ -199,7 +202,8 @@ class GabrielEngine:
                 i_block=min(self.i_block, 128),
                 window_cap=self.window_cap,
                 max_candidates=self.max_candidates,
-                row_cap=self.row_cap, salvage_cap=self.salvage_cap)
+                row_cap=self.row_cap, salvage_cap=self.salvage_cap,
+                subgroup=self.subgroup)
         return gabriel_pairwise(
             pw_int, pw_friction, X, old_v, n, cube_size,
             grid_size=self.grid_size, row_cap=self.row_cap,
