@@ -406,74 +406,97 @@ def _probe_clean(aux):
 
 
 def measure(n_cells, n_steps, seed=0, builder=None):
-    run = (builder or build)(n_cells, seed)
+    run0 = (builder or build)(n_cells, seed)
 
     # The staleness certifier (__err_stale) may reject the default
     # rebuild cadence: an actively-signalling tissue shears more per
     # chunk than the binning margin (cube_size - r_max) allows.  The
     # ladder is MEASUREMENT-DRIVEN: the first probe publishes the actual
-    # shear closure, and the next rungs rebuild the whole config (cube,
-    # gs, C, extras re-planned) with the margin sized to 1.3x that
-    # measurement -- first at the same cadence, then at half cadence
-    # (closure scales ~0.6x per halving, re-measured each rung), with
-    # the reference-exact rebuild-per-pass as the final fallback.  The
-    # timed number is then honest BY MEASUREMENT, not assumption.
-    run0 = run
-    rebuild = getattr(run, "start_rebuild", REBUILD_EVERY)
-    cm = 1.0
-    sized_this_cadence = False
-    while True:
+    # shear closure, and every alternative it implies is re-planned
+    # (cube, gs, C, extras), probed, and -- if its flags are clean --
+    # TIMED: same cadence with the margin sized to 1.3x the measurement,
+    # halved cadences sized to the ~0.6x/halving scaling, and the
+    # reference-exact rebuild-per-pass at the cost-optimal cube.  The
+    # reported number is the fastest CERTIFIED config by measurement,
+    # not the first that happens to pass (a wide-margin lattice pays
+    # ~C^2 lane work; per-pass rebuilds pay sort+pour+unbuild -- which
+    # wins depends on the physics' shear rate).
+    results = []
+
+    def probe_and_time(run, rebuild, cm=1.0):
         out = run(n_steps, rebuild, cm)     # compile + warm up
         _ = float(np.asarray(out[0].x)[0])  # force completion (readback)
         aux = out[2]
-        if _probe_clean(aux):
-            break
-        closure = float(aux.get("stale_shear_closure", np.nan))
-        print(f"# flags at rebuild_every={rebuild} "
-              f"(closure {closure:.3f}); re-planning", file=sys.stderr)
-        if rebuild == 1:
-            raise AssertionError(
-                f"flags fire even at rebuild-per-pass: { {k: float(v) for k, v in aux.items() if k.startswith('__err')} }")
-        can_size = hasattr(run0, "remake") and np.isfinite(closure)
-        margin = 1.3 * closure if can_size else np.inf
-        if can_size and not sized_this_cadence \
-                and margin <= 0.45 * run0.r_max:
-            # rung 2: same cadence, margin sized to the measurement
-            sized = run0.remake((round(1.0 + margin / run0.r_max, 3),))
-            if sized is not None:
-                run, sized_this_cadence = sized, True
-                continue
-        # rung 3: halve the cadence (closure scales ~0.6x), re-size
-        rebuild //= 2
-        sized_this_cadence = False
-        run = run0
-        if rebuild > 1 and can_size:
-            m = 1.0 + min(0.6 * margin / run0.r_max, 0.45)
-            sized = run0.remake((round(m, 3),))
-            if sized is not None:
-                run, sized_this_cadence = sized, True
-        # rebuild == 1 falls back to the reference-exact per-pass rebuild
+        if not _probe_clean(aux):
+            return aux
+        t0 = time.perf_counter()
+        out = run(n_steps, rebuild, cm)
+        _ = float(np.asarray(out[0].x)[0])
+        dt = time.perf_counter() - t0
+        rate = n_cells * n_steps / dt
+        print(f"# certified {n_cells}: {rate:.4g} cell-steps/s "
+              f"(rebuild_every={rebuild}, {run.config})", file=sys.stderr)
+        aux = out[2]
+        assert int(aux.get("__err_lattice_dropped", 0)) == 0
+        assert int(aux.get("__err_out_of_grid", 0)) == 0
+        assert not bool(aux["__err_non_finite"])
+        if "__err_stale" in aux:
+            # rebuild_every > 1 is certified: no chunk moved far enough
+            # to hide a just-entering pair inside the binning margin
+            assert not bool(aux["__err_stale"])
+        cfg = dict(run.config)
+        cfg["rebuild_every"] = rebuild
+        cfg["cube_mult"] = cm
+        results.append((rate, cfg))
+        return None
 
-    t0 = time.perf_counter()
-    out = run(n_steps, rebuild, cm)
-    _ = float(np.asarray(out[0].x)[0])
-    dt = time.perf_counter() - t0
-    print(f"# measured {n_cells}: {n_cells * n_steps / dt:.4g} "
-          f"cell-steps/s (rebuild_every={rebuild}, cube_mult={cm})",
-          file=sys.stderr)
-    aux = out[2]
-    assert int(aux.get("__err_lattice_dropped", 0)) == 0, \
-        "cube capacity overflow during the timed run"
-    assert int(aux.get("__err_out_of_grid", 0)) == 0, "cells left the grid"
-    assert not bool(aux["__err_non_finite"]), "non-finite state"
-    if "__err_stale" in aux:
-        # rebuild_every > 1 is certified: no chunk moved far enough to hide
-        # a just-entering pair inside the binning margin
-        assert not bool(aux["__err_stale"]), \
-            "stale binning: displacement exceeded the rebuild margin"
-    run.config["rebuild_every"] = rebuild
-    run.config["cube_mult"] = cm
-    return n_cells * n_steps / dt, run.config
+    rebuild0 = getattr(run0, "start_rebuild", REBUILD_EVERY)
+    aux = probe_and_time(run0, rebuild0)
+    if aux is not None:
+        closure = float(aux.get("stale_shear_closure", np.nan))
+        print(f"# flags at rebuild_every={rebuild0} "
+              f"(closure {closure:.3f}); racing certified alternatives",
+              file=sys.stderr)
+        can_size = hasattr(run0, "remake") and np.isfinite(closure)
+        if rebuild0 == 1 or not can_size:
+            raise AssertionError(
+                f"flags fire at rebuild_every={rebuild0}: "
+                f"{ {k: float(v) for k, v in aux.items() if k.startswith('__err')} }")
+        # candidate rungs, cheapest-margin first; each may still flag
+        # (the 0.6x/halving closure scaling is an estimate) -- a flagged
+        # rung re-sizes once from ITS measured closure before giving up
+        cands = []
+        margin = 1.3 * closure
+        if margin <= 0.45 * run0.r_max:
+            cands.append((round(1.0 + margin / run0.r_max, 3), rebuild0))
+        r, m = rebuild0 // 2, margin
+        while r > 1:
+            m *= 0.6
+            cands.append((round(1.0 + min(m / run0.r_max, 0.45), 3), r))
+            r //= 2
+        for cube_m, rb in cands:
+            sized = run0.remake((cube_m,))
+            if sized is None:
+                continue
+            aux2 = probe_and_time(sized, rb)
+            if aux2 is not None and rb > 1:
+                cl2 = float(aux2.get("stale_shear_closure", np.nan))
+                if np.isfinite(cl2) and 1.3 * cl2 <= 0.45 * run0.r_max:
+                    resized = run0.remake(
+                        (round(1.0 + 1.3 * cl2 / run0.r_max, 3),))
+                    if resized is not None:
+                        probe_and_time(resized, rb)
+        # reference-exact rebuild-per-pass at the cost-optimal cube
+        # (solvers.cuh:494): no staleness possible, margin irrelevant
+        aux1 = probe_and_time(run0, 1)
+        assert aux1 is None, (
+            f"flags fire even at rebuild-per-pass: "
+            f"{ {k: float(v) for k, v in aux1.items() if k.startswith('__err')} }")
+    assert results, "no certified config"
+    rate, cfg = max(results, key=lambda rc: rc[0])
+    print(f"# measured {n_cells}: {rate:.4g} cell-steps/s "
+          f"(best of {len(results)} certified: {cfg})", file=sys.stderr)
+    return rate, cfg
 
 
 def _measure_retry(n_cells, n_steps, tries=3, builder=None):

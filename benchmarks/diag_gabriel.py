@@ -55,15 +55,14 @@ def timeit(name, fn, reps=3):
     return out
 
 
-for ib, wc, nc, sub in [(128, 384, 32, None),
-                        (128, 128, 32, 32), (128, 96, 32, 16),
-                        (128, 64, 32, 16), (128, 64, 16, 16),
-                        (128, 48, 16, 8), (128, 64, 16, 8),
-                        (256, 48, 16, 8), (128, 32, 16, 8)]:
+for ib, wc, nc, sub in [(1024, 64, 32, 16), (2048, 64, 32, 16),
+                        (4096, 64, 32, 16), (2048, 64, 24, 16),
+                        (2048, 48, 24, 8), (2048, 64, 20, 16),
+                        (4096, 64, 24, 16), (2048, 96, 24, 32)]:
     fn = jax.jit(lambda ib=ib, wc=wc, nc=nc, sub=sub: gabriel_windowed(
         spring, friction_w_neighbour, X, ov, n, jnp.float32(r_max),
         grid_size=64, i_block=ib, window_cap=wc, max_candidates=nc,
-        row_cap=24, salvage_cap=2048, subgroup=sub))
+        row_cap=24, salvage_cap=512, subgroup=sub))
     out = timeit(f"ib={ib} wc={wc} nc={nc} sub={sub}", fn)
     aux = out[3]
     flags = {k: float(jnp.max(v)) for k, v in aux.items()

@@ -348,7 +348,11 @@ def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
         g -= 1
     G = B // g
     Wr = min(window_cap, n_pad)
-    NC = min(max_candidates, 9 * Wr)
+    # effective window: whole 64-lane segments covering [w0, w0 + Wr)
+    # at any alignment (one extra segment absorbs the round-down)
+    assert n_pad % 64 == 0, "gabriel_windowed needs n_pad % 64 == 0"
+    We = min((-(-Wr // 64) + 1) * 64, n_pad)
+    NC = min(max_candidates, 9 * We)
     tables = build_grid(X, n, cube_size, gs)
 
     # cube-sorted channel matrix: one gather per pass builds it, every
@@ -364,6 +368,7 @@ def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
         + [sorted_cid.astype(jnp.float32),
            (order < n).astype(jnp.float32)])          # [K + 5, n_pad]
     K = srt.shape[0]
+    srt3 = srt.reshape(K, n_pad // 64, 64)             # aligned segments
     offs = _row_offsets(gs)                            # [9, 3]
     n_cubes = gs ** 3
 
@@ -400,46 +405,48 @@ def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
         re_med = jnp.take_along_axis(jnp.sort(re_f, axis=1), mid_r,
                                      axis=1)[:, 0]
         w0 = jnp.clip((rs_med + re_med - Wr) // 2, 0, n_pad - Wr)  # [G, 9]
+        # ALIGNED fetch: round the window down to a 64-lane segment
+        # boundary and take whole segments -- XLA:TPU gathers aligned
+        # rows ~12x faster than arbitrary-offset dynamic slices
+        # (benchmarks/diag_fetch.py: 9 vs 108 ms for 57.6k windows), and
+        # the wider effective window only reduces misfits
+        w0a = jnp.clip((w0 // 64) * 64, 0, max(n_pad - We, 0))  # [G, 9]
         # a point fits iff every non-empty row range sits inside its
-        # subgroup's window
+        # subgroup's (effective) window
         row_empty = rs_g > re_g
-        fit_g = jnp.all(row_empty | ((rs_g >= w0[:, None])
-                                     & (re_g <= w0[:, None] + (Wr - 1))),
+        fit_g = jnp.all(row_empty | ((rs_g >= w0a[:, None])
+                                     & (re_g <= w0a[:, None] + (We - 1))),
                         axis=2) & act_g                # [G, g]
         misfit = (act_g & ~fit_g).reshape(B)
 
-        def row_win(r):
-            # [G, K, Wr]: one contiguous slice per subgroup
-            return jax.vmap(
-                lambda s: jax.lax.dynamic_slice(srt, (0, s), (K, Wr))
-            )(w0[:, r])
-
-        win = jnp.stack([row_win(r) for r in range(9)],
-                        axis=1)                        # [G, 9, K, Wr]
-        wpos = (w0[:, :, None]
-                + jnp.arange(Wr, dtype=jnp.int32)[None, None])  # [G, 9, Wr]
+        segs = (w0a // 64)[..., None] \
+            + jnp.arange(We // 64, dtype=jnp.int32)    # [G, 9, nseg]
+        win = jnp.take(srt3, segs.reshape(-1), axis=1) \
+            .reshape(K, G, 9, We).transpose(1, 2, 0, 3)  # [G, 9, K, We]
+        wpos = (w0a[:, :, None]
+                + jnp.arange(We, dtype=jnp.int32)[None, None])  # [G, 9, We]
         # per-(i, row, w) validity: the window slot sits in i's row range
         valid = ((wpos[:, None] >= rs_g[..., None])
                  & (wpos[:, None] <= re_g[..., None])
-                 & (win[:, None, :, K - 1] > 0.5))     # [G, g, 9, Wr]
+                 & (win[:, None, :, K - 1] > 0.5))     # [G, g, 9, We]
 
-        xj = win[:, None, :, 0]                        # [G, 1, 9, Wr]
+        xj = win[:, None, :, 0]                        # [G, 1, 9, We]
         yj = win[:, None, :, 1]
         zj = win[:, None, :, 2]
         Xi_g = jax.tree.map(lambda a: a.reshape(G, g)[..., None, None], Xi)
         dist = jnp.sqrt((Xi_g.x - xj) ** 2 + (Xi_g.y - yj) ** 2
-                        + (Xi_g.z - zj) ** 2)          # [G, g, 9, Wr]
+                        + (Xi_g.z - zj) ** 2)          # [G, g, 9, We]
         cand = valid & (dist < cube_size) & fit_g[..., None, None]
         n_cand = jnp.sum(cand, axis=(2, 3)).reshape(B)
 
         # NC nearest candidates (flattened over the 9 windows)
-        key = jnp.where(cand, dist, jnp.inf).reshape(B, 9 * Wr)
+        key = jnp.where(cand, dist, jnp.inf).reshape(B, 9 * We)
         _, sel = jax.lax.top_k(-key, NC)                  # [B, NC]
         take = lambda a: jnp.take_along_axis(
-            jnp.broadcast_to(a, (G, g, 9, Wr)).reshape(B, 9 * Wr),
+            jnp.broadcast_to(a, (G, g, 9, We)).reshape(B, 9 * We),
             sel, axis=1)
-        cand_s = jnp.take_along_axis(cand.reshape(B, 9 * Wr), sel, axis=1)
-        dist_s = jnp.take_along_axis(dist.reshape(B, 9 * Wr), sel, axis=1)
+        cand_s = jnp.take_along_axis(cand.reshape(B, 9 * We), sel, axis=1)
+        dist_s = jnp.take_along_axis(dist.reshape(B, 9 * We), sel, axis=1)
         xj_s, yj_s, zj_s = take(xj), take(yj), take(zj)
 
         # midpoint test on the compact set: j AND k from the same NC list
@@ -467,8 +474,8 @@ def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
         # solvers.cuh:572-597)
         slot_i = (b0 + jnp.arange(B, dtype=jnp.int32))[:, None]
         slot_j = jnp.take_along_axis(
-            jnp.broadcast_to(wpos[:, None], (G, g, 9, Wr))
-            .reshape(B, 9 * Wr), sel, axis=1)
+            jnp.broadcast_to(wpos[:, None], (G, g, 9, We))
+            .reshape(B, 9 * We), sel, axis=1)
         out = evaluate_pairs(pw_int, pw_friction, Xi_b, Xj, ovj,
                              slot_i, slot_j, keep, sum_axes=(1,))
         aux = out[3]

@@ -228,36 +228,49 @@ def lattice_overflow_count(layout):
     return layout.n_dropped
 
 
-def _stale_shear_flag(P, Q, grid_size, cube_size, force_r_max, max_disp):
-    """Conservative missed-pair certificate for ``rebuild_every > 1``
-    that is IMMUNE to collective flow.
+def _stale_gap_flag(P, Q, grid_size, cube_size, force_r_max, max_disp):
+    """Missed-pair certificate for ``rebuild_every > 1`` from per-cube
+    POSITION extrema -- immune to collective flow AND keeping the slack
+    of cells that sit away from their cube faces.
 
     A pair can be missed only if it is outside the 27-cube stencil at
-    build time (>= 2 cubes apart along some axis, i.e. coordinate gap
-    > cube_size there) yet comes within ``force_r_max`` during the
-    chunk -- its gap must CLOSE by more than ``cube_size - r_max``.
-    The closure along axis u is bounded by ``max_a(du_a) - min_b(du_b)``
-    over the two cells' cubes -- a DIRECTIONAL difference in which any
-    bulk translation/rotation of the neighbourhood cancels (the
-    absolute-displacement bound 2*max|dX| flags sustained collective
-    flows that close no gaps at all).
+    build time (>= 2 cubes apart along some axis u) yet comes within
+    ``force_r_max`` at ANY force evaluation of the chunk -- at that
+    moment its coordinate gap along u is < r_max.  With ``P``/``Q`` the
+    [3, gs^3] per-axis per-cube running max/min of the cells' POSITIONS
+    over every evaluation state of the chunk (chunk-start, each
+    predictor X1, each corrector result; -inf/+inf where empty), the
+    gap of any (i in a, j in b) at any evaluation is >= Q[b] - P[a], so
+    ``min over 2-apart (a, b) of (Q[b] - P[a]) >= r_max`` certifies no
+    missed pair.  Bulk translation/rotation moves P[a] and Q[b]
+    together (gap preserved), and a cell mid-cube contributes its
+    distance-to-face as extra slack -- both places where the previous
+    displacement-difference bound was needlessly conservative.
 
-    ``P``/``Q``: [3, gs^3] per-axis per-cube running max/min of the
-    in-chunk displacement (occupied cubes; -inf/+inf where empty).
     Checks cube pairs exactly 2 apart along each axis with lateral
-    offsets <= 2; pairs >= 3 apart along any axis need a closure
-    > 2*cube - r_max, covered by the global fallback term.
+    offsets <= 2; pairs >= 3 apart along any axis would need a gap
+    closure > 2*cube - r_max, covered by the global fallback term.
+    Published as ``closure = (cube - r_max) + (r_max - min gap)`` so the
+    flag condition stays ``closure > cube - r_max`` (the margin scale
+    callers already size against).
     """
     gs = grid_size
     margin2 = cube_size - force_r_max
     big = jnp.float32(3e38)
 
-    def axis_closure(u):
+    def axis_deficit(u):
+        # cube ids are x-minor (common.cube_ids): reshaped array axes are
+        # (z, y, x), so data axis u (0=x, 1=y, 2=z) lives on array axis
+        # 2 - u.  (The round-2 displacement certificate paired axis u's
+        # data with ARRAY axis u -- x shear tested across z offsets --
+        # which could both false-flag and miss a pure-x closure whose
+        # cubes were z-aligned.)
+        au = 2 - u
         P3 = P[u].reshape(gs, gs, gs)
         Q3 = Q[u].reshape(gs, gs, gs)
         # lateral 5-wide min-pools over the OTHER two axes
         for lat in range(3):
-            if lat == u:
+            if lat == au:
                 continue
             Qp = jnp.pad(Q3, [(2, 2) if a == lat else (0, 0)
                               for a in range(3)], constant_values=big)
@@ -265,14 +278,15 @@ def _stale_shear_flag(P, Q, grid_size, cube_size, force_r_max, max_disp):
                 [jax.lax.dynamic_slice_in_dim(Qp, k, gs, axis=lat)
                  for k in range(5)]), axis=0)
         # partner cubes exactly +2 along u (ordered pairs: a below b)
-        Qs = jnp.pad(Q3, [(0, 2) if a == u else (0, 0)
+        Qs = jnp.pad(Q3, [(0, 2) if a == au else (0, 0)
                           for a in range(3)], constant_values=big)
-        Qs = jax.lax.dynamic_slice_in_dim(Qs, 2, gs, axis=u)
-        return jnp.max(P3 - Qs)
+        Qs = jax.lax.dynamic_slice_in_dim(Qs, 2, gs, axis=au)
+        return jnp.max(P3 - Qs)          # = -(min gap); empty -> -inf
 
-    closure = jnp.float32(-big)
+    deficit = jnp.float32(-big)
     for u in range(3):
-        closure = jnp.maximum(closure, axis_closure(u))
+        deficit = jnp.maximum(deficit, axis_deficit(u))
+    closure = deficit + force_r_max + margin2
     flag = ((closure > margin2)
             | ((2.0 * max_disp) > (2.0 * cube_size - force_r_max)))
     return closure, flag.astype(jnp.float32)
@@ -625,9 +639,12 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                 d = jnp.maximum(d, jnp.max(jnp.where(live, delta, 0.0)))
             return d
 
-        # per-axis per-cube displacement extrema for the shear-based
-        # staleness certificate (collective flow cancels; see
-        # _stale_shear_flag)
+        # per-axis per-cube POSITION extrema over every force-evaluation
+        # state of the chunk, for the gap-based staleness certificate
+        # (collective flow cancels and mid-cube slack counts; see
+        # _stale_gap_flag).  The predictor states X1 are tracked too:
+        # the corrector pass evaluates forces THERE, so their excursions
+        # must not escape the certificate.
         big = jnp.float32(3e38)
         n_cubes = gs ** 3
         track = force_r_max is not None
@@ -636,15 +653,14 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                             gs)
             eci = jnp.where(elive, eci, n_cubes)
 
-        def pq_update(P, Q, T_new, E_new):
+        def pq_update(P, Q, T_at, E_at):
             for u, f in enumerate(("x", "y", "z")):
-                d2 = (getattr(T_new, f) - getattr(lay.T, f)) \
-                    .reshape(n_cubes, C)
+                d2 = getattr(T_at, f).reshape(n_cubes, C)
                 occ2 = occ.reshape(n_cubes, C)
                 P = P.at[u].max(jnp.max(jnp.where(occ2, d2, -big), axis=1))
                 Q = Q.at[u].min(jnp.min(jnp.where(occ2, d2, big), axis=1))
-                if E_new is not None:
-                    de = getattr(E_new, f) - getattr(lay.E, f)
+                if E_at is not None:
+                    de = getattr(E_at, f)
                     P = P.at[u, eci].max(jnp.where(elive, de, -big),
                                          mode="drop")
                     Q = Q.at[u, eci].min(jnp.where(elive, de, big),
@@ -666,9 +682,13 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                     if k.startswith("__err_"):
                         auxe[k] = jnp.maximum(auxe[k], aux1e[k])
                 T_new, E_new = heun(T, d1, d2), heun(E, d1e, d2e)
-                disp_t = jnp.maximum(max_disp(T_new, lay.T, occ),
-                                     max_disp(E_new, lay.E, elive))
+                disp_t = jnp.maximum(
+                    jnp.maximum(max_disp(T_new, lay.T, occ),
+                                max_disp(E_new, lay.E, elive)),
+                    jnp.maximum(max_disp(T1, lay.T, occ),
+                                max_disp(E1, lay.E, elive)))
                 if track:
+                    P, Q = pq_update(P, Q, T1, E1)
                     P, Q = pq_update(P, Q, T_new, E_new)
                 return ((T_new, mean_v(d1, d2), E_new, mean_v(d1e, d2e),
                          P, Q), (aux, auxe, disp_t))
@@ -682,13 +702,19 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                     aux[k] = jnp.maximum(aux[k], aux1[k])
             T_new = heun(T, d1, d2)
             if track:
+                P, Q = pq_update(P, Q, T1, None)
                 P, Q = pq_update(P, Q, T_new, None)
-            return ((T_new, mean_v(d1, d2), P, Q),
-                    (aux, max_disp(T_new, lay.T, occ)))
+            disp_t = jnp.maximum(max_disp(T_new, lay.T, occ),
+                                 max_disp(T1, lay.T, occ))
+            return ((T_new, mean_v(d1, d2), P, Q), (aux, disp_t))
 
         npq = 3 if track else 1  # dummy size-1 fields when untracked
         P0 = jnp.full((npq, n_cubes if track else 1), -big)
         Q0 = jnp.full((npq, n_cubes if track else 1), big)
+        if track:
+            # chunk-start (binning) positions seed the extrema
+            P0, Q0 = pq_update(P0, Q0, lay.T,
+                               lay.E if extras_cap else None)
         if extras_cap:
             (T, Tov, E, Eov, P, Q), (auxs, auxes, disps) = jax.lax.scan(
                 step, (lay.T, lay.Tov, lay.E, lay.Eov, P0, Q0), None,
@@ -724,15 +750,15 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                 auxes["__err_extras_block"].max(0)
         aux_last["stale_max_disp"] = disp
         if track:
-            # a missed pair needs a DIRECTIONAL gap closure across >= 2
-            # cubes; collective flow (which a p99-wide tissue sustains
-            # through the friction velocity mixing) cancels in the
-            # per-axis shear bound where the absolute 2*max|dX| bound
-            # would flag every resident chunk.  The closure VALUE is
-            # published too, so a caller can size the binning margin
-            # (cube_size - r_max) from measurement instead of probing
-            # flag-by-flag
-            closure, aux_last["__err_stale"] = _stale_shear_flag(
+            # a missed pair needs an actual position gap < r_max across
+            # >= 2 cubes at some force evaluation; collective flow (which
+            # a p99-wide tissue sustains through the friction velocity
+            # mixing) cancels in the per-cube position extrema where the
+            # absolute 2*max|dX| bound would flag every resident chunk.
+            # The closure VALUE is published too, so a caller can size
+            # the binning margin (cube_size - r_max) from measurement
+            # instead of probing flag-by-flag
+            closure, aux_last["__err_stale"] = _stale_gap_flag(
                 P, Q, gs, cube_size, force_r_max, disp)
             aux_last["stale_shear_closure"] = closure
         bad = bad | nonfinite(X)
