@@ -33,9 +33,10 @@ rng = np.random.default_rng(0)
 # block's sorted span (~i_block) plus ~3 tissue rows (~100 cells each at
 # this density); misfits (e.g. the wall node) ride the salvage pass
 cells = Solution(Float3, n_cells, cube_size=G.r_max,
-                 engine=GabrielEngine(grid_size=64, row_cap=24,
-                                      i_block=128, max_candidates=32,
-                                      window_cap=384))
+                 engine=GabrielEngine(grid_size=64, row_cap=32,
+                                      i_block=2048, max_candidates=24,
+                                      window_cap=96, subgroup=16,
+                                      salvage_cap=1024))
 n_pad = cells.n_pad
 side = int(np.ceil((2 * n_cells) ** (1 / 3)))
 g = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"),

@@ -424,3 +424,30 @@ def test_resident_staleness_collective_flow_not_flagged():
         f"rotation too slow to discriminate the bounds (disp={d})"
     assert float(aux["__err_stale"]) == 0.0, \
         f"collective rotation falsely flagged stale (disp={d})"
+
+
+def test_rebin_resident_matches_stable_resident():
+    """rebin_m_cap > 0 (lattice-resident slot-space rebinning) must match
+    the stable-resident chunk path to f32 roundoff, flags clean."""
+    from yalla_tpu.inits import relu_force
+    from yalla_tpu.ops.common import friction_w_neighbour
+
+    rng = np.random.default_rng(0)
+    n, n_pad = 1200, 1280
+    pos = rng.uniform(-4, 4, (n_pad, 3)).astype(np.float32)
+    X = Float3(x=jnp.asarray(pos[:, 0]), y=jnp.asarray(pos[:, 1]),
+               z=jnp.asarray(pos[:, 2]))
+    ov = Float3.zeros(n_pad)
+    common = (relu_force, friction_w_neighbour, "com", 16, 16, 2, X, ov,
+              jnp.int32(n), jnp.float32(0.01), jnp.float32(1.2),
+              jnp.int32(0), None, False, None, None, jnp.float32(1.0))
+    ref = lattice_heun_steps(8, 4, *common)
+    for rebuild in (4, 1):
+        out = lattice_heun_steps(8, rebuild, *common, 0, 16, 2048)
+        for k, v in out[2].items():
+            if k.startswith("__err"):
+                assert float(np.max(v)) == 0.0, (rebuild, k)
+        d = max(float(jnp.max(jnp.abs(a - b))) for a, b in
+                zip(jax.tree.leaves(out[0])[:3],
+                    jax.tree.leaves(ref[0])[:3]))
+        assert d < 1e-5, (rebuild, d)

@@ -199,6 +199,148 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
                          n_extras=jnp.sum(e_ok, dtype=jnp.int32))
 
 
+def lattice_rebin(layout: LatticeLayout, cube_size, grid_size, capacity,
+                  m_cap, extras_cap=0):
+    """Re-derive the binning from the CURRENT slot-space positions.
+
+    Produces the same cube MEMBERSHIP as ``lattice_unbuild`` followed by
+    a fresh ``lattice_build`` -- without the global n_pad sort or the
+    stable-order round trip.  Between rebuilds only a few percent of
+    cells cross a cube face, so: stayers keep their slots; movers (plus
+    every live overflow extra, which gets a chance to rejoin the dense
+    lattice) are compacted into a side list of capacity ``m_cap``, each
+    assigned a free lane of its target cube (freed lanes are reused in
+    lane order), and scattered in.  Movers whose target cube is full
+    spill to the extras list, and past that are dropped -- exactly
+    ``lattice_build``'s capacity semantics.  Slot placement WITHIN a
+    cube differs from a fresh build (pair sums are reduction-order
+    equivalent, f32 roundoff aside).
+
+    Returns ``(layout, n_unrebinned)``: nonzero means the mover list
+    overflowed ``m_cap`` and that many points kept a STALE cube
+    assignment -- callers must surface it as an in-loop error flag
+    (their forces would silently differ from a fresh build's).
+    """
+    from .common import cube_coord
+    gs, C = grid_size, capacity
+    n_cubes = gs * gs * gs
+    n_slots = layout.pid.shape[0]
+    n_pad = layout.slot_of.shape[0]
+    T, Tov = layout.T, layout.Tov
+    occ = layout.pid < n_pad
+    half = gs // 2
+
+    def cid_of(P, live):
+        cid = (cube_coord(P.z, cube_size, gs) * gs
+               + cube_coord(P.y, cube_size, gs)) * gs \
+            + cube_coord(P.x, cube_size, gs)
+        return jnp.where(live, cid, n_cubes)
+
+    def oob_of(P, live):
+        bad = jnp.zeros_like(live)
+        for v in (P.x, P.y, P.z):
+            c = jnp.floor(v / cube_size).astype(jnp.int32) + half
+            bad = bad | (c < 0) | (c >= gs)
+        return bad & live
+
+    cid_new = cid_of(T, occ)
+    slot_iota = jnp.arange(n_slots, dtype=jnp.int32)
+    mover = occ & (cid_new != slot_iota // C)
+    stay = occ & ~mover
+    n_mov = jnp.sum(mover, dtype=jnp.int32)
+    n_unrebinned = jnp.maximum(n_mov - m_cap, 0)
+
+    has_e = extras_cap > 0 and layout.epid is not None
+    live_e = (layout.epid < n_pad) if has_e else None
+    n_oob = jnp.sum(oob_of(T, occ), dtype=jnp.int32)
+    if has_e:
+        n_oob = n_oob + jnp.sum(oob_of(layout.E, live_e), dtype=jnp.int32)
+
+    # free lanes per cube after removing movers, in lane order
+    lane = jnp.arange(C, dtype=jnp.int32)[None, :]
+    free2 = (~stay).reshape(n_cubes, C)
+    free_lane = jnp.sort(jnp.where(free2, lane, lane + C), axis=1)
+    free_cnt = jnp.sum(free2, axis=1)
+
+    # compact movers (lattice segment) + all live extras into one list
+    E_cap = layout.epid.shape[0] if has_e else 0
+    L = m_cap + E_cap
+    mov_rank = jnp.cumsum(mover) - 1
+    dst_list = jnp.where(mover & (mov_rank < m_cap),
+                         mov_rank.astype(jnp.int32), m_cap)
+    msrc = jnp.full(m_cap + 1, n_slots, jnp.int32) \
+        .at[dst_list].set(slot_iota, mode="drop",
+                          unique_indices=True)[:m_cap]
+    pick = jnp.minimum(msrc, n_slots - 1)
+    lat_live = msrc < n_slots
+
+    leaves_T, tree_T = jax.tree.flatten(T)
+    leaves_ov, tree_ov = jax.tree.flatten(Tov)
+    nx = len(leaves_T)
+    if has_e:
+        cat = lambda aT, aE: jnp.concatenate([aT[pick], aE])
+        chans = [cat(a, b) for a, b in
+                 zip(leaves_T + leaves_ov,
+                     jax.tree.leaves(layout.E) + jax.tree.leaves(layout.Eov))]
+        list_pid = jnp.concatenate([
+            jnp.where(lat_live, layout.pid[pick], n_pad), layout.epid])
+        tq = jnp.concatenate([
+            jnp.where(lat_live, cid_new[pick], n_cubes),
+            cid_of(layout.E, live_e)])
+    else:
+        chans = [a[pick] for a in leaves_T + leaves_ov]
+        list_pid = jnp.where(lat_live, layout.pid[pick], n_pad)
+        tq = jnp.where(lat_live, cid_new[pick], n_cubes)
+
+    # rank within target cube -> free lane (or extras spill, or drop)
+    iota_L = jnp.arange(L, dtype=jnp.int32)
+    s_tq, s_idx = jax.lax.sort((tq, iota_L), num_keys=1)
+    first = jnp.concatenate([jnp.ones(1, bool), s_tq[1:] != s_tq[:-1]])
+    r = iota_L - jax.lax.cummax(jnp.where(first, iota_L, 0))
+    qc = jnp.minimum(s_tq, n_cubes - 1)
+    fits = (s_tq < n_cubes) & (r < free_cnt[qc])
+    dst = jnp.where(fits, qc * C + free_lane[qc, jnp.minimum(r, C - 1)],
+                    n_slots)
+    over = (s_tq < n_cubes) & ~fits
+    e_rank = jnp.cumsum(over) - 1
+    e_ok = over & (e_rank < extras_cap)
+    e_dst = jnp.where(e_ok, e_rank.astype(jnp.int32), max(extras_cap, 1))
+    n_dropped = jnp.sum(over & ~e_ok, dtype=jnp.int32)
+
+    pid_s = list_pid[s_idx]
+    chans_s = [a[s_idx] for a in chans]
+
+    # apply: clear vacated slots, then scatter the re-homed entries
+    clear_at = jnp.where(lat_live, msrc, n_slots)
+    pid2 = layout.pid.at[clear_at].set(n_pad, mode="drop") \
+        .at[dst].set(pid_s, mode="drop")
+    outs = [a.at[dst].set(v, mode="drop")
+            for a, v in zip(leaves_T + leaves_ov, chans_s)]
+    slot_of2 = layout.slot_of.at[
+        jnp.where(pid_s < n_pad, pid_s, n_pad)].set(
+        jnp.where(fits, dst, n_slots), mode="drop")
+    T2 = jax.tree.unflatten(tree_T, outs[:nx])
+    Tov2 = jax.tree.unflatten(tree_ov, outs[nx:])
+    new = layout._replace(T=T2, Tov=Tov2, pid=pid2, slot_of=slot_of2,
+                          n_dropped=n_dropped, n_oob=n_oob)
+    if has_e:
+        epad = max(extras_cap, 1) + 1
+
+        def pour_e(v):
+            return jnp.zeros(epad, v.dtype).at[e_dst].set(
+                jnp.where(e_ok, v, jnp.zeros_like(v)),
+                mode="drop")[:extras_cap]
+
+        E2 = jax.tree.unflatten(tree_T, [pour_e(v) for v in chans_s[:nx]])
+        Eov2 = jax.tree.unflatten(tree_ov,
+                                  [pour_e(v) for v in chans_s[nx:]])
+        epid2 = jnp.full(epad, n_pad, jnp.int32).at[e_dst].set(
+            jnp.where(e_ok, pid_s, n_pad), mode="drop")[:extras_cap]
+        new = new._replace(E=E2, Eov=Eov2, epid=epid2,
+                           n_extras=jnp.sum(e_ok, dtype=jnp.int32))
+    return new, n_unrebinned
+
+
 def lattice_unbuild(layout: LatticeLayout, X, old_v):
     """Back to stable-id arrays; untouched entries (inactive or dropped)
     keep their previous values.
@@ -434,13 +576,13 @@ def pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid, cube_size, *,
 
 
 @partial(jax.jit,
-         static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 14, 15, 16, 19, 20))
+         static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 14, 15, 16, 19, 20, 21))
 def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                        grid_size, capacity, z_block,
                        X, old_v, n, dt, cube_size, fix_point,
                        precompute=None, pallas=False, gen=None,
                        gen_args=None, force_r_max=None,
-                       extras_cap=0, extras_block_cap=16):
+                       extras_cap=0, extras_block_cap=16, rebin_m_cap=0):
     """``n_steps`` Heun steps with lattice-resident state.
 
     Same integration semantics as ``solvers.heun_steps`` (COM/point fixes,
@@ -459,6 +601,18 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
     ``__err_stale`` flag -- the resident cadence is then exact by
     measurement, not assumption (the reference re-bins per pass,
     solvers.cuh:494, so its exactness burden sits on the rebuild cadence).
+
+    ``rebin_m_cap > 0`` keeps the state LATTICE-RESIDENT across chunks:
+    each chunk re-derives the binning in slot space (``lattice_rebin``,
+    mover-list capacity ``rebin_m_cap``) instead of paying the
+    unbuild + global-sort + pour round trip -- same cube membership as a
+    fresh rebuild, so the staleness certificate applies unchanged.  A
+    mover-list overflow surfaces as ``__err_rebin_overflow`` (those
+    points kept a stale cube assignment).  With ``rebuild_every == 1``
+    this rebins per STEP (the corrector pass still evaluates at the
+    predictor state under chunk-start binning -- certified via the
+    position-extrema tracking); use ``rebin_m_cap == 0`` with
+    ``rebuild_every == 1`` for the reference's per-PASS rebuild.
 
     ``gen`` (a static ``GenericForce`` with ``args=None``) + ``gen_args``
     run the reference's generic-forces hook (links, walls,
@@ -612,13 +766,10 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         bad = bad | nonfinite(X_new)
         return (X_new, ov, dropped, oob, bad), aux
 
-    def chunk(carry, _):
-        X, old_v, dropped, oob, bad = carry
-        lay = lattice_build(X, old_v, n, cube_size, gs, C, extras_cap,
-                            pallas_pour=pallas)
-        dropped = jnp.maximum(dropped, lay.n_dropped)
-        oob = jnp.maximum(oob, lay.n_oob)
-
+    def run_chunk(lay):
+        """``rebuild_every`` resident steps + staleness certificate on a
+        freshly-binned layout; returns (updated layout, stable-order aux,
+        non-finite flag contribution)."""
         occ = occ_of(lay)
         elive = (lay.epid < lay.slot_of.shape[0]) if extras_cap else None
 
@@ -731,7 +882,6 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         # ~|F(cutoff)| for at most this long) -- published as a metric so
         # rebuild_every > 1 is certified by measurement, not assumption
         disp = jnp.max(disps)
-        X, old_v = lattice_unbuild(lay, X, old_v)
         # aux accumulators back to stable-id order; transient __err_*
         # flags accumulate (max) over the chunk's steps
         aux_last = to_stable(lay, {
@@ -761,8 +911,54 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
             closure, aux_last["__err_stale"] = _stale_gap_flag(
                 P, Q, gs, cube_size, force_r_max, disp)
             aux_last["stale_shear_closure"] = closure
-        bad = bad | nonfinite(X)
-        return (X, old_v, dropped, oob, bad), aux_last
+        bad = nonfinite(lay.T)
+        if extras_cap:
+            bad = bad | nonfinite(lay.E)
+        return lay, aux_last, bad
+
+    def chunk(carry, _):
+        X, old_v, dropped, oob, bad = carry
+        lay = lattice_build(X, old_v, n, cube_size, gs, C, extras_cap,
+                            pallas_pour=pallas)
+        dropped = jnp.maximum(dropped, lay.n_dropped)
+        oob = jnp.maximum(oob, lay.n_oob)
+        lay, aux_last, bad_c = run_chunk(lay)
+        X, old_v = lattice_unbuild(lay, X, old_v)
+        return (X, old_v, dropped, oob, bad | bad_c), aux_last
+
+    def chunk_rebin(carry, _):
+        # lattice-RESIDENT across chunks: re-derive the binning in slot
+        # space (lattice_rebin) instead of the unbuild + sort + pour
+        # round trip; first chunk runs on the fresh build (its rebin is
+        # a no-op pass)
+        lay, dropped, oob, bad, unre = carry
+        lay, un = lattice_rebin(lay, cube_size, gs, C, rebin_m_cap,
+                                extras_cap)
+        unre = jnp.maximum(unre, un)
+        dropped = jnp.maximum(dropped, lay.n_dropped)
+        oob = jnp.maximum(oob, lay.n_oob)
+        lay, aux_last, bad_c = run_chunk(lay)
+        return (lay, dropped, oob, bad | bad_c, unre), aux_last
+
+    zero = jnp.int32(0)
+    if rebin_m_cap and rebuild_every >= 1:
+        lay0 = lattice_build(X, old_v, n, cube_size, gs, C, extras_cap,
+                             pallas_pour=pallas)
+        carry0 = (lay0, lay0.n_dropped, lay0.n_oob, jnp.bool_(False),
+                  zero)
+        (lay, dropped, oob, bad, unre), auxs = jax.lax.scan(
+            chunk_rebin, carry0, None, length=n_steps // rebuild_every)
+        X, old_v = lattice_unbuild(lay, X, old_v)
+        aux = {k: (a.max(0) if k.startswith("__err_") else a[-1])
+               for k, a in auxs.items()}
+        for k in ("stale_max_disp", "stale_shear_closure"):
+            if k in aux:
+                aux[k] = jnp.max(auxs[k])
+        aux["__err_lattice_dropped"] = dropped
+        aux["__err_out_of_grid"] = oob
+        aux["__err_non_finite"] = bad
+        aux["__err_rebin_overflow"] = unre
+        return X, old_v, aux
 
     body = chunk_exact if rebuild_every == 1 else chunk
     carry0 = (X, old_v, jnp.int32(0), jnp.int32(0), jnp.bool_(False))

@@ -185,11 +185,13 @@ class GabrielEngine:
     # window are salvaged exactly by a gather pass of up to salvage_cap
     # points (overflow flagged in-loop).
     windowed: bool = True
-    window_cap: int = 256
+    window_cap: int = 64
     salvage_cap: int = 256
     # consecutive sorted points sharing one set of 9 windows; smaller
-    # subgroups allow a much tighter window_cap (see gabriel_windowed)
-    subgroup: int | None = None
+    # subgroups allow a much tighter window_cap (see gabriel_windowed).
+    # (64, 16) is the fastest flag-clean pair at the reference's 100k
+    # growth_w_wall density (benchmarks/diag_gabriel.py sweep).
+    subgroup: int | None = 16
 
     def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
                  i_offset=0, i_size=None):
@@ -199,7 +201,7 @@ class GabrielEngine:
                 pw_int, pw_friction, X, old_v, n, cube_size,
                 grid_size=self.grid_size,
                 gabriel_coefficient=self.gabriel_coefficient,
-                i_block=min(self.i_block, 128),
+                i_block=self.i_block,
                 window_cap=self.window_cap,
                 max_candidates=self.max_candidates,
                 row_cap=self.row_cap, salvage_cap=self.salvage_cap,
