@@ -208,6 +208,8 @@ def build(n_cells, seed=0):
                     e_b = -(-max(e_blk * 2, e_blk + 6) // 8) * 8
                     if n_e > E_CAP // 2 or e_b > E_B_MAX:
                         continue
+                    if not pallas:
+                        continue  # overflow extras need the Pallas kernel
                 cost = gs_m ** 3 * C_m * (9 * (4 * C_m - 1) + 2.2 * e_b)
                 if best is None or cost < best[0]:
                     best = (cost, m, gs_m, C_m, occ_m, extent, n_e, e_b)
@@ -463,12 +465,12 @@ def measure(n_cells, n_steps, seed=0, builder=None):
 
     rebuild0 = getattr(run0, "start_rebuild", REBUILD_EVERY)
     can_rebin = getattr(run0, "supports_rebin", False)
-    certified = []   # (run, rebuild, cm) that passed, for rebin variants
+    certified = []   # (run, rebuild, cm, rebin) that passed
 
-    def probe_time_track(run, rebuild, cm=1.0):
-        aux = probe_and_time(run, rebuild, cm)
+    def probe_time_track(run, rebuild, cm=1.0, rebin=False):
+        aux = probe_and_time(run, rebuild, cm, rebin)
         if aux is None:
-            certified.append((run, rebuild, cm))
+            certified.append((run, rebuild, cm, rebin))
         return aux
 
     aux = probe_time_track(run0, rebuild0)
@@ -484,45 +486,49 @@ def measure(n_cells, n_steps, seed=0, builder=None):
                 f"{ {k: float(v) for k, v in aux.items() if k.startswith('__err')} }")
         # candidate rungs, cheapest-margin first; each may still flag
         # (the 0.6x/halving closure scaling is an estimate) -- a flagged
-        # rung re-sizes once from ITS measured closure before giving up
+        # rung re-sizes once from ITS measured closure before giving up.
+        # Per-step rebinning (rebuild 1 + lattice_rebin) joins the race:
+        # it needs only the single-step margin but skips the per-pass
+        # sort/unbuild round trip entirely.
         cands = []
         margin = 1.3 * closure
         if margin <= 0.45 * run0.r_max:
-            cands.append((round(1.0 + margin / run0.r_max, 3), rebuild0))
+            cands.append((round(1.0 + margin / run0.r_max, 3), rebuild0,
+                          False))
         r, m = rebuild0 // 2, margin
         while r > 1:
             m *= 0.6
-            cands.append((round(1.0 + min(m / run0.r_max, 0.45), 3), r))
+            cands.append((round(1.0 + min(m / run0.r_max, 0.45), 3), r,
+                          False))
             r //= 2
-        for cube_m, rb in cands:
-            sized = run0.remake((cube_m,))
+        if can_rebin:
+            cands.append((1.0, 1, True))   # base cube; resized on flag
+        for cube_m, rb, rbn in cands:
+            sized = run0 if cube_m == 1.0 else run0.remake((cube_m,))
             if sized is None:
                 continue
-            aux2 = probe_time_track(sized, rb)
-            if aux2 is not None and rb > 1:
+            aux2 = probe_time_track(sized, rb, rebin=rbn)
+            if aux2 is not None:
                 cl2 = float(aux2.get("stale_shear_closure", np.nan))
                 if np.isfinite(cl2) and 1.3 * cl2 <= 0.45 * run0.r_max:
                     resized = run0.remake(
                         (round(1.0 + 1.3 * cl2 / run0.r_max, 3),))
                     if resized is not None:
-                        probe_time_track(resized, rb)
+                        probe_time_track(resized, rb, rebin=rbn)
         # reference-exact rebuild-per-pass at the cost-optimal cube
         # (solvers.cuh:494): no staleness possible, margin irrelevant
         aux1 = probe_time_track(run0, 1)
         assert aux1 is None, (
             f"flags fire even at rebuild-per-pass: "
             f"{ {k: float(v) for k, v in aux1.items() if k.startswith('__err')} }")
-    if can_rebin and results:
-        # lattice-resident rebinning variants: certification transfers
-        # (same binning per chunk), only the chunk round-trip cost
-        # changes -- try it on the best certified config and, if that
-        # is not already the per-step cadence, on per-step rebinning at
-        # the base cube (certified by its own probe)
+    if can_rebin and certified:
+        # rebin variant of the best certified rung: certification
+        # transfers (same binning per chunk), only the chunk round-trip
+        # cost changes
         best_i = max(range(len(results)), key=lambda k: results[k][0])
-        run_b, rb_b, cm_b = certified[best_i]
-        probe_and_time(run_b, rb_b, cm_b, rebin=True)
-        if rb_b != 1 or run_b is not run0:
-            probe_and_time(run0, 1, rebin=True)
+        run_b, rb_b, cm_b, rbn_b = certified[best_i]
+        if not rbn_b:
+            probe_and_time(run_b, rb_b, cm_b, rebin=True)
     assert results, "no certified config"
     rate, cfg = max(results, key=lambda rc: rc[0])
     print(f"# measured {n_cells}: {rate:.4g} cell-steps/s "
