@@ -426,6 +426,44 @@ def test_resident_staleness_collective_flow_not_flagged():
         f"collective rotation falsely flagged stale (disp={d})"
 
 
+def test_resident_staleness_radial_flow_not_flagged():
+    """A radially-expanding ball (the settling flagship tissue's literal
+    flow pattern) moves its rim by several binning margins per chunk but
+    only OPENS pair gaps: the per-evaluation-state gap certificate stays
+    clean.  Running chunk-wide extrema would compare an inner cube's
+    end-of-chunk max against an outer cube's start-of-chunk min and eat
+    the whole margin (measured 0.4 closure per 4-step chunk at 500k)."""
+    from yalla_tpu.ops.common import friction_w_neighbour
+
+    def no_force(Xi, r, dist, i, j):
+        return jax.tree.map(lambda a: jnp.zeros_like(dist), Xi)
+
+    gen = np.random.default_rng(9)
+    n, n_pad = 2000, 2048
+    pos = gen.uniform(-1, 1, (n_pad, 3))
+    pos = (pos / np.maximum(np.linalg.norm(pos, axis=1, keepdims=True),
+                            1e-6)) * (5.0 * gen.random((n_pad, 1)) **
+                                      (1 / 3))
+    X = Float3(x=jnp.asarray(pos[:, 0], jnp.float32),
+               y=jnp.asarray(pos[:, 1], jnp.float32),
+               z=jnp.asarray(pos[:, 2], jnp.float32))
+    # radial outflow carried by the friction velocity mixing; rim speed
+    # 0.75 -> ~0.3 rim displacement per 4-step chunk at dt=0.1, far past
+    # the 0.1 binning margin of cube 1.1 / r_max 1.0
+    ov = jax.tree.map(lambda a: 0.15 * a, X)
+    _, _, aux = lattice_heun_steps(
+        4, 4, no_force, friction_w_neighbour, "com", 16, 24, 4,
+        X, ov, jnp.int32(n), jnp.float32(0.1), jnp.float32(1.1),
+        jnp.int32(0), None, False, None, None, jnp.float32(1.0))
+    d = float(aux["stale_max_disp"])
+    assert 2 * d > 1.1 - 1.0, \
+        f"expansion too slow to discriminate the bounds (disp={d})"
+    assert float(aux["__err_out_of_grid"]) == 0.0
+    assert float(aux["__err_stale"]) == 0.0, (
+        f"radial expansion falsely flagged stale (disp={d}, "
+        f"closure={float(aux['stale_shear_closure'])})")
+
+
 def test_rebin_resident_matches_stable_resident():
     """rebin_m_cap > 0 (lattice-resident slot-space rebinning) must match
     the stable-resident chunk path to f32 roundoff, flags clean."""

@@ -370,34 +370,37 @@ def lattice_overflow_count(layout):
     return layout.n_dropped
 
 
-def _stale_gap_flag(P, Q, grid_size, cube_size, force_r_max, max_disp):
-    """Missed-pair certificate for ``rebuild_every > 1`` from per-cube
-    POSITION extrema -- immune to collective flow AND keeping the slack
-    of cells that sit away from their cube faces.
+def _gap_deficit(P, Q, grid_size):
+    """Missed-pair gap deficit for ``rebuild_every > 1`` from per-cube
+    INSTANTANEOUS position extrema of ONE force-evaluation state --
+    immune to collective flow and keeping the slack of cells that sit
+    away from their cube faces.
 
     A pair can be missed only if it is outside the 27-cube stencil at
     build time (>= 2 cubes apart along some axis u) yet comes within
-    ``force_r_max`` at ANY force evaluation of the chunk -- at that
-    moment its coordinate gap along u is < r_max.  With ``P``/``Q`` the
-    [3, gs^3] per-axis per-cube running max/min of the cells' POSITIONS
-    over every evaluation state of the chunk (chunk-start, each
-    predictor X1, each corrector result; -inf/+inf where empty), the
-    gap of any (i in a, j in b) at any evaluation is >= Q[b] - P[a], so
-    ``min over 2-apart (a, b) of (Q[b] - P[a]) >= r_max`` certifies no
-    missed pair.  Bulk translation/rotation moves P[a] and Q[b]
-    together (gap preserved), and a cell mid-cube contributes its
-    distance-to-face as extra slack -- both places where the previous
-    displacement-difference bound was needlessly conservative.
+    ``force_r_max`` at SOME single force evaluation of the chunk -- at
+    that moment its coordinate gap along u is < r_max.  With ``P``/``Q``
+    the [3, gs^3] per-axis per-cube max/min of the cells' positions *at
+    that evaluation state* (cube membership frozen at build time;
+    -inf/+inf where empty), the gap of any (i in a, j in b) is
+    >= Q[b] - P[a], so ``min over 2-apart (a, b) of (Q[b] - P[a])
+    >= r_max`` certifies no missed pair at this state.  The caller
+    accumulates ``max`` of the returned deficit (= -(min gap)) over
+    every evaluation state of the chunk.
+
+    Extrema must be INSTANTANEOUS, not running over the chunk: running
+    extrema compare cube a at one time against cube b at another, so
+    uniform collective flow -- which a settling tissue sustains through
+    the friction velocity mixing -- eats the whole margin spuriously
+    (measured 0.4 closure per 4-step chunk at 500k where the true
+    same-state shear is ~100x smaller).
 
     Checks cube pairs exactly 2 apart along each axis with lateral
     offsets <= 2; pairs >= 3 apart along any axis would need a gap
-    closure > 2*cube - r_max, covered by the global fallback term.
-    Published as ``closure = (cube - r_max) + (r_max - min gap)`` so the
-    flag condition stays ``closure > cube - r_max`` (the margin scale
-    callers already size against).
+    closure > 2*cube - r_max, covered by the caller's global
+    displacement fallback term.
     """
     gs = grid_size
-    margin2 = cube_size - force_r_max
     big = jnp.float32(3e38)
 
     def axis_deficit(u):
@@ -416,9 +419,11 @@ def _stale_gap_flag(P, Q, grid_size, cube_size, force_r_max, max_disp):
                 continue
             Qp = jnp.pad(Q3, [(2, 2) if a == lat else (0, 0)
                               for a in range(3)], constant_values=big)
-            Q3 = jnp.min(jnp.stack(
-                [jax.lax.dynamic_slice_in_dim(Qp, k, gs, axis=lat)
-                 for k in range(5)]), axis=0)
+            m = None
+            for k in range(5):
+                s = jax.lax.dynamic_slice_in_dim(Qp, k, gs, axis=lat)
+                m = s if m is None else jnp.minimum(m, s)
+            Q3 = m
         # partner cubes exactly +2 along u (ordered pairs: a below b)
         Qs = jnp.pad(Q3, [(0, 2) if a == au else (0, 0)
                           for a in range(3)], constant_values=big)
@@ -428,10 +433,7 @@ def _stale_gap_flag(P, Q, grid_size, cube_size, force_r_max, max_disp):
     deficit = jnp.float32(-big)
     for u in range(3):
         deficit = jnp.maximum(deficit, axis_deficit(u))
-    closure = deficit + force_r_max + margin2
-    flag = ((closure > margin2)
-            | ((2.0 * max_disp) > (2.0 * cube_size - force_r_max)))
-    return closure, flag.astype(jnp.float32)
+    return deficit
 
 
 def slot_to_stable(layout, tree, fill=0.0):
@@ -790,12 +792,13 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                 d = jnp.maximum(d, jnp.max(jnp.where(live, delta, 0.0)))
             return d
 
-        # per-axis per-cube POSITION extrema over every force-evaluation
-        # state of the chunk, for the gap-based staleness certificate
-        # (collective flow cancels and mid-cube slack counts; see
-        # _stale_gap_flag).  The predictor states X1 are tracked too:
-        # the corrector pass evaluates forces THERE, so their excursions
-        # must not escape the certificate.
+        # gap-deficit staleness certificate, evaluated at EVERY
+        # force-evaluation state of the chunk from that state's own
+        # instantaneous per-axis per-cube position extrema (collective
+        # flow cancels and mid-cube slack counts; see _gap_deficit).
+        # The predictor states X1 are checked too: the corrector pass
+        # evaluates forces THERE, so their excursions must not escape
+        # the certificate.
         big = jnp.float32(3e38)
         n_cubes = gs ** 3
         track = force_r_max is not None
@@ -804,23 +807,25 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                             gs)
             eci = jnp.where(elive, eci, n_cubes)
 
-        def pq_update(P, Q, T_at, E_at):
+        def state_deficit(T_at, E_at):
+            P = jnp.full((3, n_cubes), -big)
+            Q = jnp.full((3, n_cubes), big)
             for u, f in enumerate(("x", "y", "z")):
                 d2 = getattr(T_at, f).reshape(n_cubes, C)
                 occ2 = occ.reshape(n_cubes, C)
-                P = P.at[u].max(jnp.max(jnp.where(occ2, d2, -big), axis=1))
-                Q = Q.at[u].min(jnp.min(jnp.where(occ2, d2, big), axis=1))
+                P = P.at[u].set(jnp.max(jnp.where(occ2, d2, -big), axis=1))
+                Q = Q.at[u].set(jnp.min(jnp.where(occ2, d2, big), axis=1))
                 if E_at is not None:
                     de = getattr(E_at, f)
                     P = P.at[u, eci].max(jnp.where(elive, de, -big),
                                          mode="drop")
                     Q = Q.at[u, eci].min(jnp.where(elive, de, big),
                                          mode="drop")
-            return P, Q
+            return _gap_deficit(P, Q, gs)
 
         def step(c, _):
             if extras_cap:
-                T, Tov, E, Eov, P, Q = c
+                T, Tov, E, Eov, dfc = c
                 lay_t = lay._replace(Tov=Tov, Eov=Eov)
                 d1, aux1, d1e, aux1e = deriv(lay_t, T, n, E)
                 T1 = jax.tree.map(lambda a, b: a + b * dt, T, d1)
@@ -839,11 +844,11 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                     jnp.maximum(max_disp(T1, lay.T, occ),
                                 max_disp(E1, lay.E, elive)))
                 if track:
-                    P, Q = pq_update(P, Q, T1, E1)
-                    P, Q = pq_update(P, Q, T_new, E_new)
+                    dfc = jnp.maximum(dfc, state_deficit(T1, E1))
+                    dfc = jnp.maximum(dfc, state_deficit(T_new, E_new))
                 return ((T_new, mean_v(d1, d2), E_new, mean_v(d1e, d2e),
-                         P, Q), (aux, auxe, disp_t))
-            T, Tov, P, Q = c
+                         dfc), (aux, auxe, disp_t))
+            T, Tov, dfc = c
             lay_t = lay._replace(Tov=Tov)
             d1, aux1 = deriv(lay_t, T, n)
             T1 = jax.tree.map(lambda a, b: a + b * dt, T, d1)
@@ -853,27 +858,26 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                     aux[k] = jnp.maximum(aux[k], aux1[k])
             T_new = heun(T, d1, d2)
             if track:
-                P, Q = pq_update(P, Q, T1, None)
-                P, Q = pq_update(P, Q, T_new, None)
+                dfc = jnp.maximum(dfc, state_deficit(T1, None))
+                dfc = jnp.maximum(dfc, state_deficit(T_new, None))
             disp_t = jnp.maximum(max_disp(T_new, lay.T, occ),
                                  max_disp(T1, lay.T, occ))
-            return ((T_new, mean_v(d1, d2), P, Q), (aux, disp_t))
+            return ((T_new, mean_v(d1, d2), dfc), (aux, disp_t))
 
-        npq = 3 if track else 1  # dummy size-1 fields when untracked
-        P0 = jnp.full((npq, n_cubes if track else 1), -big)
-        Q0 = jnp.full((npq, n_cubes if track else 1), big)
         if track:
-            # chunk-start (binning) positions seed the extrema
-            P0, Q0 = pq_update(P0, Q0, lay.T,
-                               lay.E if extras_cap else None)
+            # the chunk-start (binning) state is itself the first pass's
+            # evaluation state
+            dfc0 = state_deficit(lay.T, lay.E if extras_cap else None)
+        else:
+            dfc0 = jnp.float32(-big)
         if extras_cap:
-            (T, Tov, E, Eov, P, Q), (auxs, auxes, disps) = jax.lax.scan(
-                step, (lay.T, lay.Tov, lay.E, lay.Eov, P0, Q0), None,
+            (T, Tov, E, Eov, dfc), (auxs, auxes, disps) = jax.lax.scan(
+                step, (lay.T, lay.Tov, lay.E, lay.Eov, dfc0), None,
                 length=rebuild_every)
             lay = lay._replace(T=T, Tov=Tov, E=E, Eov=Eov)
         else:
-            (T, Tov, P, Q), (auxs, disps) = jax.lax.scan(
-                step, (lay.T, lay.Tov, P0, Q0), None,
+            (T, Tov, dfc), (auxs, disps) = jax.lax.scan(
+                step, (lay.T, lay.Tov, dfc0), None,
                 length=rebuild_every)
             lay = lay._replace(T=T, Tov=Tov)
         # staleness certification: the largest in-chunk displacement bounds
@@ -901,15 +905,19 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         aux_last["stale_max_disp"] = disp
         if track:
             # a missed pair needs an actual position gap < r_max across
-            # >= 2 cubes at some force evaluation; collective flow (which
-            # a p99-wide tissue sustains through the friction velocity
-            # mixing) cancels in the per-cube position extrema where the
-            # absolute 2*max|dX| bound would flag every resident chunk.
-            # The closure VALUE is published too, so a caller can size
-            # the binning margin (cube_size - r_max) from measurement
-            # instead of probing flag-by-flag
-            closure, aux_last["__err_stale"] = _stale_gap_flag(
-                P, Q, gs, cube_size, force_r_max, disp)
+            # >= 2 cubes at some single force evaluation; collective
+            # flow (which a p99-wide tissue sustains through the
+            # friction velocity mixing) cancels in the per-state
+            # per-cube position extrema where the absolute 2*max|dX|
+            # bound would flag every resident chunk.  The closure VALUE
+            # is published too, so a caller can size the binning margin
+            # (cube_size - r_max) from measurement instead of probing
+            # flag-by-flag; the flag condition is closure > margin.
+            # The displacement fallback covers pairs >= 3 cubes apart.
+            closure = dfc + cube_size
+            flag = ((closure > (cube_size - force_r_max))
+                    | ((2.0 * disp) > (2.0 * cube_size - force_r_max)))
+            aux_last["__err_stale"] = flag.astype(jnp.float32)
             aux_last["stale_shear_closure"] = closure
         bad = nonfinite(lay.T)
         if extras_cap:
