@@ -326,11 +326,96 @@ def test_gabriel_windowed_matches_gather():
                        atol=1e-5), "sum_friction differs"
 
 
+def test_gabriel_lattice_pallas_matches_gather():
+    """The dense-lattice Pallas Gabriel kernel (in-VMEM candidate
+    compaction, ops/gabriel_pallas.py) reproduces the per-point gather
+    formulation exactly (forces, friction sums, kept-pair structure)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from yalla_tpu.ops.common import friction_w_neighbour
+    from yalla_tpu.ops.gabriel_pallas import gabriel_lattice_pallas
+    from yalla_tpu.ops.grid_xla import gabriel_pairwise
+
+    rng = np.random.default_rng(17)
+    n, n_pad = 700, 768
+    pos = rng.uniform(-4, 4, (n_pad, 3)).astype(np.float32)
+    X = Float3(x=jnp.asarray(pos[:, 0]), y=jnp.asarray(pos[:, 1]),
+               z=jnp.asarray(pos[:, 2]))
+    ov = Float3(x=jnp.asarray(rng.random(n_pad), jnp.float32),
+                y=jnp.asarray(rng.random(n_pad), jnp.float32),
+                z=jnp.asarray(rng.random(n_pad), jnp.float32))
+
+    a = gabriel_pairwise(clipped_spring, friction_w_neighbour, X, ov,
+                         jnp.int32(n), jnp.float32(1.0), grid_size=16,
+                         row_cap=48, max_candidates=64)
+    b = gabriel_lattice_pallas(clipped_spring, friction_w_neighbour, X, ov,
+                               jnp.int32(n), jnp.float32(1.0),
+                               grid_size=16, capacity=8, max_candidates=20)
+    for k, v in b[3].items():
+        if k.startswith("__err"):
+            assert float(np.max(np.asarray(v))) == 0, k
+    for f in ("x", "y", "z"):
+        fa = np.asarray(getattr(a[0], f))[:n]
+        fb = np.asarray(getattr(b[0], f))[:n]
+        assert np.allclose(fa, fb, atol=1e-5), \
+            f"lattice Gabriel force differs in {f}: {np.abs(fa - fb).max()}"
+    assert np.allclose(np.asarray(a[1])[:n], np.asarray(b[1])[:n],
+                       atol=1e-5), "sum_friction differs"
+    for c in range(3):
+        assert np.allclose(np.asarray(a[2][c])[:n], np.asarray(b[2][c])[:n],
+                           atol=1e-5), f"sum_v[{c}] differs"
+
+
+def test_gabriel_stable_id_semantics():
+    """Reference forces use point ids beyond i == j (growth_w_wall.cu's
+    wall-node exclusion by index): every Gabriel formulation must hand
+    the force REAL stable ids, not sorted-slot numbers.  Point 0 sits
+    mid-tissue so a slot-id mixup shifts its force to the wrong cell."""
+    import jax.numpy as jnp
+    import numpy as np
+    from yalla_tpu.ops.common import friction_w_neighbour
+    from yalla_tpu.ops.gabriel_pallas import gabriel_lattice_pallas
+    from yalla_tpu.ops.grid_xla import gabriel_pairwise, gabriel_windowed
+
+    def wall_spring(Xi, r, dist, i, j):
+        near = (i != j) & (i != 0) & (j != 0) & (dist < 1.0)
+        w = jnp.where(near, (0.8 - dist), 0.0)
+        safe = jnp.where(dist > 0, dist, 1.0)
+        return Float3(x=r.x * w / safe, y=r.y * w / safe, z=r.z * w / safe)
+
+    rng = np.random.default_rng(23)
+    n, n_pad = 500, 512
+    pos = rng.uniform(-3.5, 3.5, (n_pad, 3)).astype(np.float32)
+    pos[0] = [0.3, 0.2, 0.1]  # the "wall node", mid-tissue
+    X = Float3(x=jnp.asarray(pos[:, 0]), y=jnp.asarray(pos[:, 1]),
+               z=jnp.asarray(pos[:, 2]))
+    ov = Float3.zeros(n_pad)
+    args = (wall_spring, friction_w_neighbour, X, ov, jnp.int32(n),
+            jnp.float32(1.0))
+
+    a = gabriel_pairwise(*args, grid_size=16, row_cap=48,
+                         max_candidates=64)
+    w = gabriel_windowed(*args, grid_size=16, i_block=64, window_cap=256,
+                         max_candidates=64)
+    l = gabriel_lattice_pallas(*args, grid_size=16, capacity=8,
+                               max_candidates=20)
+    assert float(np.abs(np.asarray(a[0].x)[0])) == 0, "wall node must sit still"
+    for name, got in (("windowed", w), ("lattice", l)):
+        for f in ("x", "y", "z"):
+            fa = np.asarray(getattr(a[0], f))[:n]
+            fb = np.asarray(getattr(got[0], f))[:n]
+            assert np.allclose(fa, fb, atol=1e-5), (
+                f"{name} Gabriel id semantics broken in {f}: "
+                f"{np.abs(fa - fb).max()}")
+
+
 def test_gabriel_windowed_misfit_salvage():
-    """A lone far-away point (e.g. a wall node below the tissue) shares a
-    sorted block with cluster points whose rows sit thousands of positions
-    away; the median-anchored window masks it out and the salvage pass
-    recovers its exact forces (no flag, matches the gather formulation)."""
+    """A point whose non-empty neighbour rows span more sorted positions
+    than one window can cover (here: a corner cluster whose +1-z row sits
+    past a 300-point strip of intervening cube ids) must be masked out of
+    the windowed pass and salvaged exactly by the gather pass (no flag,
+    matches the gather formulation); more misfits than ``salvage_cap``
+    must raise ``__err_gabriel_window``."""
     import jax.numpy as jnp
     import numpy as np
     from yalla_tpu.ops.common import friction_w_neighbour
@@ -339,10 +424,22 @@ def test_gabriel_windowed_misfit_salvage():
     rng = np.random.default_rng(3)
     n, n_pad = 2000, 2048
     pos = rng.uniform(2, 14, (n_pad, 3)).astype(np.float32)
-    # outliers in the far corner: tiny cube ids, sorted into block 0 with
-    # the tissue's corner cells (their rows ~2000 sorted positions apart)
-    pos[:3] = [[-14.0, -14.0, -14.0], [-13.2, -14.0, -14.0],
-               [-14.0, -13.2, -14.0]]
+    # a sparse 28-cube probe strip (one point per cube, all in one sorted
+    # block) under a 250-point filler row one z-plane up, with anchor
+    # pairs at both filler ends: the probe points' (dz=+1) row ranges pin
+    # anywhere across the ~250-position filler span, so no single
+    # 192-slot per-row window can serve the whole subgroup -- the ends
+    # must misfit (window-fit disagreement is the only misfit mode left
+    # after per-row median anchoring; a single point's own 3-cube range
+    # is bounded by row_cap and always fits)
+    pos[0:28, 0] = -13.5 + np.arange(28)          # cx = 2..29, cz = 2
+    pos[0:28, 1] = -14.0
+    pos[0:28, 2] = -14.0
+    pos[28:30] = [[-13.6, -14.0, -12.5], [-13.4, -14.0, -12.5]]
+    pos[30:280, 0] = np.linspace(-8.4, 8.4, 250)  # cx = 7..24, cz = 3
+    pos[30:280, 1] = -14.0
+    pos[30:280, 2] = -12.5
+    pos[280:282] = [[13.4, -14.0, -12.5], [13.6, -14.0, -12.5]]
     X = Float3(x=jnp.asarray(pos[:, 0]), y=jnp.asarray(pos[:, 1]),
                z=jnp.asarray(pos[:, 2]))
     ov = Float3.zeros(n_pad)

@@ -357,7 +357,7 @@ def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
 
     # cube-sorted channel matrix: one gather per pass builds it, every
     # window afterwards is a contiguous slice.  Row order: X leaves,
-    # old_v x/y/z, sorted cube id, active flag.
+    # old_v x/y/z, stable id, sorted cube id, active flag.
     leaves_X, tree_X = jax.tree.flatten(X)
     nx = len(leaves_X)
     order = tables.order
@@ -365,8 +365,9 @@ def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
     srt = jnp.stack(
         [a[order] for a in leaves_X]
         + [old_v.x[order], old_v.y[order], old_v.z[order]]
-        + [sorted_cid.astype(jnp.float32),
-           (order < n).astype(jnp.float32)])          # [K + 5, n_pad]
+        + [order.astype(jnp.float32),
+           sorted_cid.astype(jnp.float32),
+           (order < n).astype(jnp.float32)])          # [K + 6, n_pad]
     K = srt.shape[0]
     srt3 = srt.reshape(K, n_pad // 64, 64)             # aligned segments
     offs = _row_offsets(gs)                            # [9, 3]
@@ -468,16 +469,16 @@ def gabriel_windowed(pw_int, pw_friction, X, old_v, n, cube_size, *,
             tree_X, [take(win[:, None, :, k]) for k in range(nx)])
         Xj = Xj.replace(x=xj_s, y=yj_s, z=zj_s)
         ovj = tuple(take(win[:, None, :, nx + c]) for c in range(3))
-        # ids only need i == j / i != j semantics: sorted-slot numbers are
-        # unique, and the self-pair survives the midpoint test naturally
-        # (radius 0 admits no blocker -- the reference's is_self keep,
-        # solvers.cuh:572-597)
-        slot_i = (b0 + jnp.arange(B, dtype=jnp.int32))[:, None]
-        slot_j = jnp.take_along_axis(
-            jnp.broadcast_to(wpos[:, None], (G, g, 9, We))
-            .reshape(B, 9 * We), sel, axis=1)
+        # REAL stable ids on both sides: reference forces use ids beyond
+        # i == j semantics (growth_w_wall.cu:49-71 excludes the wall
+        # node by index), so sorted-slot numbers would silently change
+        # the physics.  The self-pair survives the midpoint test
+        # naturally (radius 0 admits no blocker -- the reference's
+        # is_self keep, solvers.cuh:572-597).
+        pid_j = take(win[:, None, :, nx + 3])
         out = evaluate_pairs(pw_int, pw_friction, Xi_b, Xj, ovj,
-                             slot_i, slot_j, keep, sum_axes=(1,))
+                             i_ids.astype(jnp.float32)[:, None], pid_j,
+                             keep, sum_axes=(1,))
         aux = out[3]
         # fitting points see their complete candidate rows inside the
         # window, so row clipping is impossible here; the key exists so

@@ -192,9 +192,27 @@ class GabrielEngine:
     # (64, 16) is the fastest flag-clean pair at the reference's 100k
     # growth_w_wall density (benchmarks/diag_gabriel.py sweep).
     subgroup: int | None = 16
+    # lattice=True runs the dense-lattice Pallas kernel
+    # (ops/gabriel_pallas.py): in-VMEM candidate compaction instead of
+    # the windowed path's HBM gathers -- the 100k-scale perf path.
+    # capacity is the lattice's per-cube slot count (max occupancy + 1);
+    # max_candidates should then bound the measured within-cutoff count
+    # (~16 at growth_w_wall density), not the reference's 100.
+    lattice: bool = False
+    capacity: int = 8
+    z_block: int = 2
+    y_block: int = 8
 
     def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
                  i_offset=0, i_size=None):
+        if self.lattice and i_offset == 0 and i_size is None:
+            from .ops.gabriel_pallas import gabriel_lattice_pallas
+            return gabriel_lattice_pallas(
+                pw_int, pw_friction, X, old_v, n, cube_size,
+                grid_size=self.grid_size, capacity=self.capacity,
+                max_candidates=self.max_candidates,
+                gabriel_coefficient=self.gabriel_coefficient,
+                z_block=self.z_block, y_block=self.y_block)
         if self.windowed and i_offset == 0 and i_size is None:
             from .ops.grid_xla import gabriel_windowed
             return gabriel_windowed(
