@@ -464,6 +464,89 @@ def test_resident_staleness_radial_flow_not_flagged():
         f"closure={float(aux['stale_shear_closure'])})")
 
 
+def test_resident_staleness_lateral_slip_not_flagged():
+    """Two rigid plates two z-cubes apart (z-gap > r_max: they can never
+    interact) slide past each other in x by several cube sizes per
+    chunk.  Their x-gaps across the 2-cube z offset close and reopen
+    constantly, but interaction would also need the z-gap to close --
+    the per-axis certificate with +-1 lateral pooling plus the
+    min-of-two-gaps diagonal term must stay clean (the round-3 +-2
+    lateral pool charged exactly this slip as staleness)."""
+    from yalla_tpu.ops.common import friction_w_neighbour
+
+    def no_force(Xi, r, dist, i, j):
+        return jax.tree.map(lambda a: jnp.zeros_like(dist), Xi)
+
+    gen = np.random.default_rng(11)
+    n, n_pad = 1024, 1024
+    half = n // 2
+    xy = gen.uniform(-4.0, 4.0, (n_pad, 2))
+    # cube 0.8, r_max 0.55 (margin 0.25): plates in z-cubes 0 and 2,
+    # z-gap 1.54 > r_max forever
+    z = np.where(np.arange(n_pad) < half, 0.44, 1.98)
+    X = Float3(x=jnp.asarray(xy[:, 0], jnp.float32),
+               y=jnp.asarray(xy[:, 1], jnp.float32),
+               z=jnp.asarray(z, jnp.float32))
+    # top plate slides +x by 0.5 per chunk (2x the margin; below the
+    # >=3-apart displacement fallback threshold 2*cube - r_max = 1.05),
+    # carried by the friction velocity mixing (plates internally rigid)
+    ov = Float3(x=jnp.asarray(np.where(np.arange(n_pad) < half, 0.0, 0.25),
+                              jnp.float32),
+                y=jnp.zeros(n_pad, jnp.float32),
+                z=jnp.zeros(n_pad, jnp.float32))
+    _, _, aux = lattice_heun_steps(
+        4, 4, no_force, friction_w_neighbour, "point", 24, 24, 4,
+        X, ov, jnp.int32(n), jnp.float32(0.5), jnp.float32(0.8),
+        jnp.int32(0), None, False, None, None, jnp.float32(0.55))
+    d = float(aux["stale_max_disp"])
+    assert 2 * d > 0.8 - 0.55, f"slip too slow to discriminate (disp={d})"
+    assert 2 * d < 2 * 0.8 - 0.55, f"slip trips the >=3-apart fallback"
+    assert float(aux["__err_out_of_grid"]) == 0.0
+    assert float(aux["__err_stale"]) == 0.0, (
+        f"pure lateral slip falsely flagged (disp={d}, "
+        f"closure={float(aux['stale_shear_closure'])})")
+
+
+def test_resident_staleness_diagonal_escape_flagged():
+    """A pair approaching through the DIAGONAL escape (2 cubes apart in
+    both x and z, both gaps closing below r_max) must flag: the
+    min-of-two-gaps term is what keeps the +-1 lateral pooling sound."""
+    from yalla_tpu.ops.common import friction_w_neighbour
+
+    def no_force(Xi, r, dist, i, j):
+        return jax.tree.map(lambda a: jnp.zeros_like(dist), Xi)
+
+    n_pad = 64
+    # two cell pairs binned (2, 0, 2) cubes apart in (x, y, z) at cube
+    # 1.1, approaching diagonally by 0.25/axis each (axis gaps 1.2 ->
+    # 0.7 < r_max) -- per-cell displacement 0.35, far below the
+    # >=3-apart fallback threshold (2*cube - r_max)/2 = 0.6, so ONLY the
+    # min-of-two-gaps diagonal term can catch this.  Buddies at +0.5 y
+    # carry the velocity through the friction mixing.
+    pos = np.zeros((n_pad, 3), np.float32)
+    pos[0] = [1.05, 0.0, 1.05]
+    pos[1] = [1.05, 0.5, 1.05]           # buddy of 0
+    pos[2] = [2.25, 0.0, 2.25]
+    pos[3] = [2.25, 0.5, 2.25]           # buddy of 2
+    v = np.zeros((n_pad, 3), np.float32)
+    v[:2] = [0.0625, 0.0, 0.0625]
+    v[2:4] = [-0.0625, 0.0, -0.0625]
+    X = Float3(x=jnp.asarray(pos[:, 0]), y=jnp.asarray(pos[:, 1]),
+               z=jnp.asarray(pos[:, 2]))
+    ov = Float3(x=jnp.asarray(v[:, 0]), y=jnp.asarray(v[:, 1]),
+                z=jnp.asarray(v[:, 2]))
+    _, _, aux = lattice_heun_steps(
+        4, 4, no_force, friction_w_neighbour, "point", 16, 8, 4,
+        X, ov, jnp.int32(4), jnp.float32(1.0), jnp.float32(1.1),
+        jnp.int32(0), None, False, None, None, jnp.float32(1.0))
+    d = float(aux["stale_max_disp"])
+    assert 2 * d < 2 * 1.1 - 1.0, "fallback fired; test must isolate " \
+        "the diagonal term"
+    assert float(aux["__err_stale"]) == 1.0, (
+        f"diagonal escape not flagged "
+        f"(closure={float(aux['stale_shear_closure'])}, disp={d})")
+
+
 def test_rebin_resident_matches_stable_resident():
     """rebin_m_cap > 0 (lattice-resident slot-space rebinning) must match
     the stable-resident chunk path to f32 roundoff, flags clean."""

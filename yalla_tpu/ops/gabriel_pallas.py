@@ -58,7 +58,7 @@ def _interpret():
 
 
 def gabriel_lattice_pallas(pw_int, pw_friction, X, old_v, n, cube_size, *,
-                           grid_size, capacity, max_candidates=16,
+                           grid_size, capacity, max_candidates=20,
                            gabriel_coefficient=0.8, z_block=2, y_block=8,
                            pallas_pour=None):
     """Gabriel-graph pair sums (same contract as ``gabriel_pairwise``).

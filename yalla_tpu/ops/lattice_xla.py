@@ -395,44 +395,74 @@ def _gap_deficit(P, Q, grid_size):
     (measured 0.4 closure per 4-step chunk at 500k where the true
     same-state shear is ~100x smaller).
 
-    Checks cube pairs exactly 2 apart along each axis with lateral
-    offsets <= 2; pairs >= 3 apart along any axis would need a gap
-    closure > 2*cube - r_max, covered by the caller's global
-    displacement fallback term.
+    Coverage: pairs exactly 2 apart along ONE axis with lateral offsets
+    <= 1 take the tight single-axis gap check; pairs 2 apart along TWO
+    axes (diagonal escape) must close BOTH axis gaps below r_max, so
+    their deficit is the min of the two (pairs 2 apart along all three
+    axes ride the same term with the third axis pooled +-2,
+    conservatively ignoring its gap); pairs >= 3 apart along any axis
+    would need a gap closure > 2*cube - r_max, covered by the caller's
+    global displacement fallback term.  The round-3 certificate pooled
+    laterally +-2 into the single-axis check instead, which charged the
+    u-gap of cells 2 cubes apart in v -- cells that can only interact
+    by ALSO closing the v-gap -- and flagged tissue shear (lateral
+    slip) that misses no pairs at all.
     """
     gs = grid_size
     big = jnp.float32(3e38)
+    # cube ids are x-minor (common.cube_ids): reshaped array axes are
+    # (z, y, x), so data axis u (0=x, 1=y, 2=z) lives on array axis
+    # 2 - u.
+    P3 = [P[u].reshape(gs, gs, gs) for u in range(3)]
+    Q3 = [Q[u].reshape(gs, gs, gs) for u in range(3)]
 
-    def axis_deficit(u):
-        # cube ids are x-minor (common.cube_ids): reshaped array axes are
-        # (z, y, x), so data axis u (0=x, 1=y, 2=z) lives on array axis
-        # 2 - u.  (The round-2 displacement certificate paired axis u's
-        # data with ARRAY axis u -- x shear tested across z offsets --
-        # which could both false-flag and miss a pure-x closure whose
-        # cubes were z-aligned.)
-        au = 2 - u
-        P3 = P[u].reshape(gs, gs, gs)
-        Q3 = Q[u].reshape(gs, gs, gs)
-        # lateral 5-wide min-pools over the OTHER two axes
-        for lat in range(3):
-            if lat == au:
-                continue
-            Qp = jnp.pad(Q3, [(2, 2) if a == lat else (0, 0)
-                              for a in range(3)], constant_values=big)
-            m = None
-            for k in range(5):
-                s = jax.lax.dynamic_slice_in_dim(Qp, k, gs, axis=lat)
-                m = s if m is None else jnp.minimum(m, s)
-            Q3 = m
-        # partner cubes exactly +2 along u (ordered pairs: a below b)
-        Qs = jnp.pad(Q3, [(0, 2) if a == au else (0, 0)
-                          for a in range(3)], constant_values=big)
-        Qs = jax.lax.dynamic_slice_in_dim(Qs, 2, gs, axis=au)
-        return jnp.max(P3 - Qs)          # = -(min gap); empty -> -inf
+    def pool(A, ax, k, keep_max):
+        fill = -big if keep_max else big
+        Ap = jnp.pad(A, [(k, k) if a == ax else (0, 0) for a in range(3)],
+                     constant_values=fill)
+        m = None
+        for t in range(2 * k + 1):
+            s = jax.lax.dynamic_slice_in_dim(Ap, t, gs, axis=ax)
+            m = s if m is None else (jnp.maximum(m, s) if keep_max
+                                     else jnp.minimum(m, s))
+        return m
+
+    def shift(A, ax, d, fill):
+        # a-centric partner value: out[i] = A[i + d] (d static, +-2)
+        pad = [(0, d) if a == ax else (0, 0) for a in range(3)] if d >= 0 \
+            else [(-d, 0) if a == ax else (0, 0) for a in range(3)]
+        Ap = jnp.pad(A, pad, constant_values=fill)
+        return jax.lax.dynamic_slice_in_dim(Ap, max(d, 0), gs, axis=ax)
 
     deficit = jnp.float32(-big)
+    # single-axis escapes: partner +2 along u, lateral pooled +-1
     for u in range(3):
-        deficit = jnp.maximum(deficit, axis_deficit(u))
+        au = 2 - u
+        Qp = Q3[u]
+        for lat in range(3):
+            if lat != au:
+                Qp = pool(Qp, lat, 1, False)
+        deficit = jnp.maximum(deficit,
+                              jnp.max(P3[u] - shift(Qp, au, 2, big)))
+    # two-axis (diagonal) escapes: partner (+2 u, +-2 v), third axis
+    # pooled +-2; BOTH gaps must close, so the pair deficit is the min
+    for u in range(3):
+        for v in range(u + 1, 3):
+            au, av = 2 - u, 2 - v
+            w = 3 - u - v
+            aw = 2 - w
+            for s in (2, -2):
+                def bside(A, keep_max):
+                    fill = -big if keep_max else big
+                    Ap = pool(A, aw, 2, keep_max)
+                    return shift(shift(Ap, au, 2, fill), av, s, fill)
+                d_u = P3[u] - bside(Q3[u], False)
+                if s > 0:
+                    d_v = P3[v] - bside(Q3[v], False)
+                else:
+                    d_v = bside(P3[v], True) - Q3[v]
+                deficit = jnp.maximum(deficit,
+                                      jnp.max(jnp.minimum(d_u, d_v)))
     return deficit
 
 
