@@ -122,13 +122,51 @@ def _extras_plan(X, n_cells, gs, cube, C, zb=2, yb=8):
     return int(over[sel].sum()), int(per_block.max())
 
 
+# extras sizing shared by every lattice builder: E_CAP is a static shape
+# (the extras-extras pair block costs E_CAP^2 lanes per pass whether or
+# not extras are live); E_B_MAX bounds the per-block sidecar table
+E_B_MAX, E_CAP = 64, 2048
+
+
+def _plan_lattice(X, n_cells, r_max, ms, pallas, zb=2, yb=16):
+    """Cost-optimal (cube multiple, gs, C, extras) over candidate cube
+    margins ``ms`` -- the kernel's lane work is ``gs^3 * C * (9(4C-1) +
+    2.2 * extras_block_cap)``; with overflow extras the capacity tracks
+    the TYPICAL cube occupancy instead of the worst cube's."""
+    from yalla_tpu.ops.lattice_xla import lattice_grid_for
+
+    best = None
+    for m in ms:
+        cube_m = r_max * m
+        occ_m, extent = _max_occ(X, n_cells, 96, cube_m)
+        for C_m in (4, 6, 8, 10, 12, 16, 24):
+            gs_m = lattice_grid_for(extent, cube_m, C_m)
+            if (gs_m * C_m) % 128 or gs_m % 8:
+                continue
+            if C_m > occ_m:
+                n_e, e_b = 0, 0
+            else:
+                n_e, e_blk = _extras_plan(X, n_cells, gs_m, cube_m,
+                                          C_m, zb, yb)
+                # headroom: 2x the measured per-block spill or +6; the
+                # kernel sidecar costs ~2.2 force evals per table slot
+                e_b = -(-max(e_blk * 2, e_blk + 6) // 8) * 8
+                if n_e > E_CAP // 2 or e_b > E_B_MAX:
+                    continue
+                if not pallas:
+                    continue  # overflow extras need the Pallas kernel
+            cost = gs_m ** 3 * C_m * (9 * (4 * C_m - 1) + 2.2 * e_b)
+            if best is None or cost < best[0]:
+                best = (cost, m, gs_m, C_m, occ_m, extent, n_e, e_b)
+    return best
+
+
 def build(n_cells, seed=0):
     from yalla_tpu.models import branching as B
     from yalla_tpu.dtypes import Float3
     from yalla_tpu.ops.common import friction_w_neighbour
     from yalla_tpu.ops.lattice_xla import (lattice_grid_for,
-                                           lattice_heun_steps,
-                                           pick_lattice_dims)
+                                           lattice_heun_steps)
     from yalla_tpu.polarity import polarity_precompute
 
     n_pad = -(-n_cells // 4096) * 4096 if n_cells > 4096 else \
@@ -177,42 +215,15 @@ def build(n_cells, seed=0):
     # masked, physics exact -- the reference likewise allows cube_size >
     # cutoff).  With overflow extras the capacity tracks the TYPICAL cube
     # occupancy instead of the worst cube's: cells past C spill into the
-    # kernel's exactly-handled side list, and the cost model below weighs
-    # the C^2 lane saving against the per-block sidecar work (~2.2 force
-    # evals per tabled extra vs 9*(4C-1) per offset sweep).
+    # kernel's exactly-handled side list, and the cost model weighs the
+    # C^2 lane saving against the per-block sidecar work.
     zb, yb = 2, 16
-    # E_CAP is a static shape: the extras-extras pair block costs
-    # E_CAP^2 lanes per pass whether or not extras are live, so keep the
-    # headroom moderate (2048^2 ~ 0.3 ms; the settled tissue spills ~0)
-    E_B_MAX, E_CAP = 64, 2048
 
     def make_run(ms):
-        """Cost-optimal (cube multiple, gs, C, extras) run over candidate
-        margins ``ms``; callable again with a measured-closure-sized
-        margin (see measure()'s certification ladder)."""
-        best = None
-        for m in ms:
-            cube_m = p.r_max * m
-            occ_m, extent = _max_occ(X, n_cells, gs0, cube_m)
-            for C_m in (4, 6, 8, 10, 12, 16):
-                gs_m = lattice_grid_for(extent, cube_m, C_m)
-                if (gs_m * C_m) % 128 or gs_m % 8:
-                    continue
-                if C_m > occ_m:
-                    n_e, e_blk, e_b = 0, 0, 0
-                else:
-                    n_e, e_blk = _extras_plan(X, n_cells, gs_m, cube_m,
-                                              C_m, zb, yb)
-                    # headroom: 2x the measured per-block spill or +6, the
-                    # kernel sidecar costs ~2.2 force evals per table slot
-                    e_b = -(-max(e_blk * 2, e_blk + 6) // 8) * 8
-                    if n_e > E_CAP // 2 or e_b > E_B_MAX:
-                        continue
-                    if not pallas:
-                        continue  # overflow extras need the Pallas kernel
-                cost = gs_m ** 3 * C_m * (9 * (4 * C_m - 1) + 2.2 * e_b)
-                if best is None or cost < best[0]:
-                    best = (cost, m, gs_m, C_m, occ_m, extent, n_e, e_b)
+        """Cost-optimal run over candidate cube margins ``ms``; callable
+        again with a measured-closure-sized margin (see measure()'s
+        certification ladder)."""
+        best = _plan_lattice(X, n_cells, p.r_max, ms, pallas, zb, yb)
         if best is None:
             return None
         _, m, gs, C, max_occ, extent, n_e, e_b = best
@@ -261,7 +272,7 @@ def build_sorting(n_cells, seed=0):
     from yalla_tpu.inits import relu_force
     from yalla_tpu.ops.common import friction_w_neighbour
     from yalla_tpu.ops.lattice_xla import lattice_heun_steps, \
-        lattice_grid_for, pick_lattice_dims
+        lattice_grid_for
 
     Cell = make_pt("SortCell", "ctype")
     rng = np.random.default_rng(seed)
@@ -308,29 +319,46 @@ def build_sorting(n_cells, seed=0):
         jnp.float32(r_max), jnp.int32(0), None, False)
     assert int(aux["__err_out_of_grid"]) == 0
     old_v = jax.tree.map(jnp.zeros_like, old_v)
+    zb, yb = 2, 16
 
-    max_occ, extent = _max_occ(X, n_cells, gs0, r_max)
-    gs, C = pick_lattice_dims(extent, r_max, max_occ)
-    print(f"# bench config (sorting 5k-class): n={n_cells} "
-          f"extent={extent:.1f} max_occ={max_occ} -> gs={gs} C={C}",
-          file=sys.stderr)
+    def make_run(ms):
+        # same cost-model planner as the 500k builder: the compact
+        # adhesive tissue's occupancy histogram is long-tailed (typical
+        # ~10, max ~20), so overflow extras cut C from the worst cube's
+        # occupancy to the typical one (C=16 spills ~10 cells)
+        best = _plan_lattice(X, n_cells, r_max, ms, pallas, zb, yb)
+        if best is None:
+            return None
+        _, m, gs, C, max_occ, extent, n_e, e_b = best
+        cube = r_max * m
+        extras_cap = E_CAP if e_b else 0
+        print(f"# bench config (sorting 5k-class): n={n_cells} "
+              f"extent={extent:.1f} max_occ={max_occ} (cube x{m}) -> "
+              f"gs={gs} C={C} extras={n_e} (block cap {e_b})",
+              file=sys.stderr)
 
-    def run(n_steps, rebuild=1, cube_mult=1.0):
-        k = rebuild
-        while n_steps % k:
-            k -= 1
-        return lattice_heun_steps(
-            n_steps, k, adhesion, friction_w_neighbour, "com", gs, C, 2,
-            X, old_v, n, jnp.float32(dt), jnp.float32(r_max * cube_mult),
-            jnp.int32(0), None, pallas)
+        def run(n_steps, rebuild=1, cube_mult=1.0, rebin=False):
+            k = rebuild
+            while n_steps % k:
+                k -= 1
+            m_cap = max(4096, -(-n_cells // 8 // 64) * 64) if rebin else 0
+            return lattice_heun_steps(
+                n_steps, k, adhesion, friction_w_neighbour, "com", gs, C,
+                zb, X, old_v, n, jnp.float32(dt),
+                jnp.float32(cube * cube_mult), jnp.int32(0), None, pallas,
+                None, None, jnp.float32(r_max), extras_cap, max(e_b, 8),
+                m_cap)
 
-    # binning at cube == r_max leaves ZERO staleness margin, so the only
-    # certifiable cadence is the reference's own rebuild-per-pass
-    # (solvers.cuh:494); a bigger cube would push the compact tissue's
-    # per-cube occupancy past the C = 24 lane bound
-    run.start_rebuild = 1
-    run.config = {"gs": int(gs), "C": int(C), "max_occ": int(max_occ)}
-    return run
+        run.config = {"gs": int(gs), "C": int(C), "max_occ": int(max_occ),
+                      "cube": float(cube), "extras": int(n_e),
+                      "extras_block_cap": int(e_b)}
+        run.remake = make_run
+        run.r_max = float(r_max)
+        run.supports_rebin = True
+        return run
+
+    return make_run((1.0, 1.1, 1.2) if REBUILD_EVERY == 1
+                    else (1.1, 1.2, 1.3))
 
 
 def build_sorting_tile(n_cells, seed=0):
@@ -438,6 +466,14 @@ def measure(n_cells, n_steps, seed=0, builder=None):
         aux = out[2]
         if not _probe_clean(aux) or int(aux.get("__err_rebin_overflow",
                                                 0)) != 0:
+            fired = {k: float(np.max(np.asarray(v)))
+                     for k, v in aux.items()
+                     if k.startswith("__err") and float(
+                         np.max(np.asarray(v))) != 0.0}
+            print(f"# probe flagged (rebuild={rebuild}, cm={cm}, "
+                  f"rebin={rebin}): {fired} "
+                  f"closure={float(aux.get('stale_shear_closure', np.nan)):.3f}",
+                  file=sys.stderr)
             return aux
         t0 = time.perf_counter()
         out = run(n_steps, rebuild, cm, **kw)
