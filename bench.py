@@ -87,6 +87,12 @@ def _max_occ(X, n_cells, gs, cube):
                                             for a in q)
 
 
+def _extents(X, n_cells):
+    """Per-axis max |coord| of the active cells (x, y, z)."""
+    return tuple(float(np.abs(np.asarray(a)[:n_cells]).max())
+                 for a in (X.x, X.y, X.z))
+
+
 def _occ_cubes(X, n_cells, gs, cube):
     """(z, y, x) cube coords + per-cube counts of the active points."""
     q = [np.clip(np.floor(np.asarray(a)[:n_cells] / cube).astype(np.int64)
@@ -97,23 +103,29 @@ def _occ_cubes(X, n_cells, gs, cube):
     return uniq, counts
 
 
-def _extras_plan(X, n_cells, gs, cube, C, zb=2, yb=8):
+def _extras_plan(X, n_cells, dims, cube, C, zb=2, yb=8):
     """(n_extras_total, per_block_cap_needed) if the lattice ran at
     capacity ``C`` with overflow extras: mirrors the kernel's sidecar
     table assignment (an extra lands in every block overlapping its
-    +-1-cube z/y neighbourhood, <= 4 blocks)."""
-    uniq, counts = _occ_cubes(X, n_cells, gs, cube)
+    +-1-cube z/y neighbourhood, <= 4 blocks).  ``dims`` = (gx, gy, gz)
+    or an int for a cubic grid."""
+    gx, gy, gz = (dims, dims, dims) if isinstance(dims, int) else dims
+    q = [np.clip(np.floor(np.asarray(a)[:n_cells] / cube).astype(np.int64)
+                 + g // 2, 0, g - 1)
+         for a, g in ((X.z, gz), (X.y, gy), (X.x, gx))]
+    cid = (q[0] * gy + q[1]) * gx + q[2]
+    uniq, counts = np.unique(cid, return_counts=True)
     over = counts - C
     sel = over > 0
     if not sel.any():
         return 0, 0
-    cz, rem = np.divmod(uniq[sel], gs * gs)
-    cy = rem // gs
+    cz, rem = np.divmod(uniq[sel], gx * gy)
+    cy = rem // gx
     k = over[sel]
-    ny = gs // yb
-    per_block = np.zeros(((gs // zb) * ny,), np.int64)
+    ny = gy // yb
+    per_block = np.zeros(((gz // zb) * ny,), np.int64)
     for z0, y0, kk in zip(cz, cy, k):
-        blocks = {(int(np.clip(zi, 0, gs // zb - 1)),
+        blocks = {(int(np.clip(zi, 0, gz // zb - 1)),
                    int(np.clip(yi, 0, ny - 1)))
                   for zi in ((z0 - 1) // zb, (z0 + 1) // zb)
                   for yi in ((y0 - 1) // yb, (y0 + 1) // yb)}
@@ -129,24 +141,35 @@ E_B_MAX, E_CAP = 64, 2048
 
 
 def _plan_lattice(X, n_cells, r_max, ms, pallas, zb=2, yb=16):
-    """Cost-optimal (cube multiple, gs, C, extras) over candidate cube
-    margins ``ms`` -- the kernel's lane work is ``gs^3 * C * (9(4C-1) +
-    2.2 * extras_block_cap)``; with overflow extras the capacity tracks
-    the TYPICAL cube occupancy instead of the worst cube's."""
+    """Cost-optimal (cube multiple, (gx, gy, gz), C, extras) over
+    candidate cube margins ``ms`` -- the kernel's lane work is
+    ``gx*gy*gz * C * (9(4C-1) + 2.2 * extras_block_cap)``.  Only gx pays
+    the 128-lane row rule; gy and gz are ceil-to-8 of the tissue's
+    actual per-axis extent (a cubic rule costs ~25% spurious lanes for
+    a ball at C = 12).  With overflow extras the capacity tracks the
+    TYPICAL cube occupancy instead of the worst cube's."""
     from yalla_tpu.ops.lattice_xla import lattice_grid_for
+
+    ex, ey, ez = _extents(X, n_cells)
+
+    def lat_dim(e, cube_m):
+        need = int(np.ceil(2.0 * (e + 0.75) / cube_m))
+        return max(-(-need // 8) * 8, 16)
 
     best = None
     for m in ms:
         cube_m = r_max * m
-        occ_m, extent = _max_occ(X, n_cells, 96, cube_m)
+        occ_m, _ = _max_occ(X, n_cells, 96, cube_m)
+        gy_m, gz_m = lat_dim(ey, cube_m), lat_dim(ez, cube_m)
         for C_m in (4, 6, 8, 10, 12, 16, 24):
-            gs_m = lattice_grid_for(extent, cube_m, C_m)
-            if (gs_m * C_m) % 128 or gs_m % 8:
+            gx_m = lattice_grid_for(ex, cube_m, C_m)
+            dims = (gx_m, gy_m, gz_m)
+            if (gx_m * C_m) % 128:
                 continue
             if C_m > occ_m:
                 n_e, e_b = 0, 0
             else:
-                n_e, e_blk = _extras_plan(X, n_cells, gs_m, cube_m,
+                n_e, e_blk = _extras_plan(X, n_cells, dims, cube_m,
                                           C_m, zb, yb)
                 # headroom: 2x the measured per-block spill or +6; the
                 # kernel sidecar costs ~2.2 force evals per table slot
@@ -155,9 +178,11 @@ def _plan_lattice(X, n_cells, r_max, ms, pallas, zb=2, yb=16):
                     continue
                 if not pallas:
                     continue  # overflow extras need the Pallas kernel
-            cost = gs_m ** 3 * C_m * (9 * (4 * C_m - 1) + 2.2 * e_b)
+            cost = gx_m * gy_m * gz_m * C_m * (9 * (4 * C_m - 1)
+                                               + 2.2 * e_b)
             if best is None or cost < best[0]:
-                best = (cost, m, gs_m, C_m, occ_m, extent, n_e, e_b)
+                best = (cost, m, dims, C_m, occ_m, max(ex, ey, ez),
+                        n_e, e_b)
     return best
 
 
@@ -249,9 +274,9 @@ def build(n_cells, seed=0):
                 polarity_precompute, pallas, None, None,
                 jnp.float32(p.r_max), extras_cap, max(e_b, 8), m_cap)
 
-        run.config = {"gs": int(gs), "C": int(C), "max_occ": int(max_occ),
-                      "cube": float(cube), "extras": int(n_e),
-                      "extras_block_cap": int(e_b)}
+        run.config = {"gs": list(gs), "C": int(C),
+                      "max_occ": int(max_occ), "cube": float(cube),
+                      "extras": int(n_e), "extras_block_cap": int(e_b)}
         run.remake = make_run
         run.r_max = float(p.r_max)
         run.supports_rebin = True
@@ -349,16 +374,19 @@ def build_sorting(n_cells, seed=0):
                 None, None, jnp.float32(r_max), extras_cap, max(e_b, 8),
                 m_cap)
 
-        run.config = {"gs": int(gs), "C": int(C), "max_occ": int(max_occ),
-                      "cube": float(cube), "extras": int(n_e),
-                      "extras_block_cap": int(e_b)}
+        run.config = {"gs": list(gs), "C": int(C),
+                      "max_occ": int(max_occ), "cube": float(cube),
+                      "extras": int(n_e), "extras_block_cap": int(e_b)}
         run.remake = make_run
         run.r_max = float(r_max)
         run.supports_rebin = True
         return run
 
-    return make_run((1.0, 1.1, 1.2) if REBUILD_EVERY == 1
-                    else (1.1, 1.2, 1.3))
+    # cube 1.0 stays in the candidate set even at rebuild_every > 1: the
+    # certification ladder falls back to rebuild-per-pass on the
+    # cost-optimal config, and for this compact tissue that IS cube 1.0
+    # (bigger cubes push occupancy/C up faster than they buy margin)
+    return make_run((1.0, 1.1, 1.2))
 
 
 def build_sorting_tile(n_cells, seed=0):

@@ -32,6 +32,7 @@ __all__ = [
     "mask_tree",
     "cube_coord",
     "cube_ids",
+    "grid_dims",
     "out_of_grid_mask",
     "split_force_output",
     "ERR_PREFIX",
@@ -60,36 +61,51 @@ def mask_tree(tree, mask):
     return jax.tree.map(lambda a: jnp.where(mask, a, jnp.zeros_like(a)), tree)
 
 
+def grid_dims(grid_size):
+    """``(gx, gy, gz)`` from an int (cubic grid) or a 3-tuple.
+
+    Only the x extent is coupled to the kernels' 128-lane row constraint
+    (rows are ``gx * C`` lanes); y and z are free at multiples of 8, so
+    anisotropic grids avoid paying the lane rule in all three axes
+    (a ~25% lane-work tax for a ball-shaped tissue at e.g. C = 12,
+    where the rule forces gx from the needed 52 up to 64)."""
+    if isinstance(grid_size, (tuple, list)):
+        gx, gy, gz = (int(g) for g in grid_size)
+        return gx, gy, gz
+    g = int(grid_size)
+    return g, g, g
+
+
 def cube_coord(v, cube_size, grid_size):
     """Grid coordinate of one axis, clipped into the grid (the reference
     D_ASSERTs in-bounds instead, solvers.cuh:361-364; out-of-grid states
-    are detected separately via :func:`out_of_grid_any`)."""
+    are detected separately via :func:`out_of_grid_mask`)."""
     c = jnp.floor(v / cube_size).astype(jnp.int32) + grid_size // 2
     return jnp.clip(c, 0, grid_size - 1)
 
 
 def cube_ids(X, n, cube_size, grid_size):
     """Cube id per point, x-minor (ref solvers.cuh:349-365); inactive
-    points get the sentinel ``grid_size**3`` (sorts past every cube)."""
-    gs = grid_size
+    points get the sentinel ``gx * gy * gz`` (sorts past every cube)."""
+    gx, gy, gz = grid_dims(grid_size)
     active = jnp.arange(X.x.shape[0], dtype=jnp.int32) < n
-    cid = (cube_coord(X.x, cube_size, gs)
-           + cube_coord(X.y, cube_size, gs) * gs
-           + cube_coord(X.z, cube_size, gs) * gs * gs)
-    return jnp.where(active, cid, gs * gs * gs)
+    cid = (cube_coord(X.x, cube_size, gx)
+           + (cube_coord(X.y, cube_size, gy)
+              + cube_coord(X.z, cube_size, gz) * gy) * gx)
+    return jnp.where(active, cid, gx * gy * gz)
 
 
 def out_of_grid_mask(X, n, cube_size, grid_size):
     """Per-point True where an active point's UNCLIPPED cube coordinate
     falls outside the grid (clipping would mis-bin it)."""
-    gs = grid_size
+    gx, gy, gz = grid_dims(grid_size)
     active = jnp.arange(X.x.shape[0], dtype=jnp.int32) < n
 
-    def bad(v):
-        c = jnp.floor(v / cube_size).astype(jnp.int32) + gs // 2
-        return (c < 0) | (c >= gs)
+    def bad(v, g):
+        c = jnp.floor(v / cube_size).astype(jnp.int32) + g // 2
+        return (c < 0) | (c >= g)
 
-    return active & (bad(X.x) | bad(X.y) | bad(X.z))
+    return active & (bad(X.x, gx) | bad(X.y, gy) | bad(X.z, gz))
 
 
 def split_force_output(out):

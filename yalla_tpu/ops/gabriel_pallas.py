@@ -68,25 +68,27 @@ def gabriel_lattice_pallas(pw_int, pw_friction, X, old_v, n, cube_size, *,
     ``__err_lattice_dropped`` and ``__err_out_of_grid`` (scalars, the
     lattice analogue of ``__err_grid_overflow``).
     """
-    gs, C, NC = grid_size, capacity, max_candidates
+    from .common import grid_dims
+    gx, gy, gz = grid_dims(grid_size)
+    C, NC = capacity, max_candidates
     gc2 = (0.5 * gabriel_coefficient) ** 2
-    W = gs * C
-    assert W % 128 == 0, "gs * capacity must be a multiple of 128 lanes"
+    W = gx * C
+    assert W % 128 == 0, "gx * capacity must be a multiple of 128 lanes"
     zb = z_block
-    while gs % zb:
+    while gz % zb:
         zb -= 1
-    nz = gs // zb
+    nz = gz // zb
     yb = max((y_block // 8) * 8, 8)
-    while gs % yb:
+    while gy % yb:
         yb -= 8
-    assert yb >= 8 and gs % yb == 0, \
-        "grid_size must be a multiple of 8 for the Pallas kernel"
-    ny = gs // yb
+    assert yb >= 8 and gy % yb == 0, \
+        "grid y extent must be a multiple of 8 for the Pallas kernel"
+    ny = gy // yb
     n_shifts = 4 * C - 1
     shape = (zb, yb, W)
 
     n_pad = X.x.shape[0]
-    lay = lattice_build(X, old_v, n, cube_size, gs, C, 0,
+    lay = lattice_build(X, old_v, n, cube_size, grid_size, C, 0,
                         pallas_pour=(not _interpret()) if pallas_pour is None
                         else pallas_pour)
     leaves, tree = jax.tree.flatten(lay.T)
@@ -111,9 +113,9 @@ def gabriel_lattice_pallas(pw_int, pw_friction, X, old_v, n, cube_size, *,
     K = nf + 4
     PID, OV = nf, nf + 1
 
-    A_i = jnp.stack([c.reshape(gs, gs, W) for c in chans])
+    A_i = jnp.stack([c.reshape(gz, gy, W) for c in chans])
     A_j = jnp.stack([
-        jnp.pad(c.reshape(gs, gs, W), ((1, 1), (8, 8), (0, 0)),
+        jnp.pad(c.reshape(gz, gy, W), ((1, 1), (8, 8), (0, 0)),
                 constant_values=X_SENTINEL if k == 0 else 0.0)
         for k, c in enumerate(chans)])
 
@@ -283,17 +285,17 @@ def gabriel_lattice_pallas(pw_int, pw_friction, X, old_v, n, cube_size, *,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=[jax.ShapeDtypeStruct((M, gs, gs, W), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((M, gz, gy, W), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=pair_lanes * (20 + 5 * NC), transcendentals=pair_lanes,
-            bytes_accessed=2 * K * gs ** 2 * W * 4),
+            bytes_accessed=2 * K * gz * gy * W * 4),
         interpret=_interpret(),
     )(jnp.asarray([cube_size], jnp.float32), act, A_i, A_j)
 
-    flat = out[0].reshape(M, gs ** 3 * C)
+    flat = out[0].reshape(M, gx * gy * gz * C)
     back = lambda t: slot_to_stable(lay, t)
     F = back(jax.tree.unflatten(dF_tree, [flat[o] for o in range(n_dF)]))
     sum_f = back(flat[n_dF])

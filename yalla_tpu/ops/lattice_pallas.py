@@ -93,15 +93,16 @@ def _extras_tables(layout, t_fields, with_ov, nz, ny, zb, yb,
     cannot reach both sublanes and lanes) with X_SENTINEL-poisoned x for
     empty entries, block_overflow scalar).
     """
-    from .common import cube_coord
+    from .common import cube_coord, grid_dims
+    _, g_y, g_z = grid_dims(grid_size)
     E, Eov, epid = layout.E, layout.Eov, layout.epid
     E_cap = epid.shape[0]
     n_pad = layout.slot_of.shape[0]
     n_blocks = nz * ny
     live = epid < n_pad
 
-    cz = cube_coord(E.z, cube_size, grid_size)
-    cy = cube_coord(E.y, cube_size, grid_size)
+    cz = cube_coord(E.z, cube_size, g_z)
+    cy = cube_coord(E.y, cube_size, g_y)
     z_lo = jnp.clip((cz - 1) // zb, 0, nz - 1)
     z_hi = jnp.clip((cz + 1) // zb, 0, nz - 1)
     y_lo = jnp.clip((cy - 1) // yb, 0, ny - 1)
@@ -223,13 +224,15 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
     single-chip kernel unchanged.  ``n_pad`` overrides the empty-slot
     sentinel when no ``slot_of`` is at hand (inside shard_map).
     """
-    gs, C = grid_size, capacity
-    gz = grid_z if grid_z is not None else grid_size
+    from .common import grid_dims
+    gx, gy, gz_full = grid_dims(grid_size)
+    C = capacity
+    gz = grid_z if grid_z is not None else gz_full
     n_slots = layout.pid.shape[0]
     if n_pad is None:
         n_pad = layout.slot_of.shape[0]
-    W = gs * C
-    assert W % 128 == 0, "gs * capacity must be a multiple of 128 lanes"
+    W = gx * C
+    assert W % 128 == 0, "gx * capacity must be a multiple of 128 lanes"
     zb = z_block
     assert gz % zb == 0
     nz = gz // zb
@@ -238,11 +241,11 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
     if y_block is None:
         y_block = DEFAULT_Y_BLOCK
     yb = max((y_block // 8) * 8, 8)
-    while gs % yb:
+    while gy % yb:
         yb -= 8
-    assert yb >= 8 and gs % yb == 0, \
-        "grid_size must be a multiple of 8 for the Pallas kernel"
-    ny = gs // yb
+    assert yb >= 8 and gy % yb == 0, \
+        "grid y extent must be a multiple of 8 for the Pallas kernel"
+    ny = gy // yb
     # block-local slot ids ride f32 lanes; they (plus the largest window
     # offset) must stay exactly representable
     assert (zb + 2) * (yb + 2) * W + 2 * C < 2 ** 24, \
@@ -347,7 +350,7 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
 
     def stack_i(chs):
         # i-side needs no halo: blocks slice it exactly
-        return jnp.stack([c.reshape(gz, gs, W) for c in chs])
+        return jnp.stack([c.reshape(gz, gy, W) for c in chs])
 
     def stack_j(chs, halos=None):
         # one z-halo plane each side plus EIGHT y-halo rows each side: HBM
@@ -359,11 +362,11 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
         outs = []
         for idx, c in enumerate(chs):
             fill = X_SENTINEL if idx == 0 else 0.0
-            a = c.reshape(gz, gs, W)
+            a = c.reshape(gz, gy, W)
             if halos is not None:
                 lo, hi = halos[idx]
-                a = jnp.concatenate([lo.reshape(1, gs, W), a,
-                                     hi.reshape(1, gs, W)], axis=0)
+                a = jnp.concatenate([lo.reshape(1, gy, W), a,
+                                     hi.reshape(1, gy, W)], axis=0)
                 a = jnp.pad(a, ((0, 0), (8, 8), (0, 0)),
                             constant_values=fill)
             else:
@@ -372,7 +375,7 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
             outs.append(a)
         return jnp.stack(outs)
 
-    A_i = stack_i(xi_channels)        # [K_i, gz, gs, W]
+    A_i = stack_i(xi_channels)        # [K_i, gz, gy, W]
     if z_halo is not None:
         lo_l, hi_l, lo_ov3, hi_ov3, lo_occ, hi_occ = z_halo
         lo_p = [jnp.where(lo_occ, lo_l[0], X_SENTINEL)] + list(lo_l[1:])
@@ -393,7 +396,7 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
     if has_extras:
         ids_tbl, chan_tbl, block_over = _extras_tables(
             layout, t_fields, have_fr, nz, ny, zb, yb,
-            cube_size, gs, E_b)
+            cube_size, grid_size, E_b)
     else:
         chan_tbl = jnp.zeros((nz * ny, E_b, 128), jnp.float32)
 
@@ -602,7 +605,7 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
     out_specs = [pl.BlockSpec((M, zb, yb, W),
                               lambda zi, yi, *_: (0, zi, yi, 0),
                               memory_space=pltpu.VMEM)]
-    out_shapes = [jax.ShapeDtypeStruct((M, gz, gs, W), jnp.float32)]
+    out_shapes = [jax.ShapeDtypeStruct((M, gz, gy, W), jnp.float32)]
     scratch = [pltpu.VMEM((K_i, zb, yb, W), jnp.float32),
                pltpu.VMEM((K_j, zb + 2, yb + 16, W), jnp.float32)]
     prefetch = [jnp.asarray([cube_size], jnp.float32), act]
@@ -632,7 +635,7 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=pair_lanes * 40, transcendentals=pair_lanes,
-            bytes_accessed=(K_i + K_j + M) * gz * gs * W * 4),
+            bytes_accessed=(K_i + K_j + M) * gz * gy * W * 4),
         interpret=_interpret(),
     )(*prefetch, A_i, A_j)
 

@@ -51,10 +51,13 @@ def _interpret():
 
 
 def pour_supported(n_pad, grid_size, capacity):
-    W = grid_size * capacity
-    return (W % 128 == 0 and W * 8 <= 2 ** 14 and grid_size % 8 == 0
+    from .common import grid_dims
+    gx, gy, gz = grid_dims(grid_size)
+    W = gx * capacity
+    return (W % 128 == 0 and W * 8 <= 2 ** 14
+            and (gy * gz) % 8 == 0
             and n_pad % 128 == 0 and n_pad >= 2 ** 13
-            and grid_size ** 3 * capacity < 2 ** 24)
+            and gx * gy * gz * capacity < 2 ** 24)
 
 
 def _flat_roll_down(x, d, sub, lane):
@@ -85,17 +88,19 @@ def pour_pallas(S, row_starts, n_pad, grid_size, capacity, spill_cap=1024):
 
     S: [K, n_pad] f32 stack; S[K-1] is the global slot target per sorted
     entry (``cid * C + rank``; DST_SENTINEL for entries to drop).
-    row_starts: [gs^2 + 1] i32, first sorted position per (z, y) row.
+    row_starts: [gy*gz + 1] i32, first sorted position per (z, y) row.
 
     Returns (out [K-1, n_slots] f32 (0.0-filled empties),
              live [n_slots] f32 (1.0 where a cell was placed),
              n_unrouted i32 (cells the stage budget could not place --
              callers must surface these like capacity drops)).
     """
+    from .common import grid_dims
     K = S.shape[0]
-    gs, C = grid_size, capacity
-    W = gs * C
-    n_rows = gs * gs
+    gx, gy, gz = grid_dims(grid_size)
+    C = capacity
+    W = gx * C
+    n_rows = gy * gz
     n_blocks = n_rows // 8
     BW = 8 * W                      # output slots per block
     BWIN = BW + 1024 + spill_cap    # window: runs + align slop + spill

@@ -82,6 +82,7 @@ class LatticeLayout(NamedTuple):
 
 
 from .common import cube_ids as _cube_ids
+from .common import grid_dims as _grid_dims
 from .common import out_of_grid_mask as _oob_mask
 
 
@@ -102,14 +103,16 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
     dropping them; only cells overflowing the side list too count as
     ``n_dropped``."""
     n_pad = X.x.shape[0]
-    gs, C = grid_size, capacity
-    n_cubes = gs * gs * gs
+    gx, gy, gz = _grid_dims(grid_size)
+    C = capacity
+    n_cubes = gx * gy * gz
     n_slots = n_cubes * C
     cid = _cube_ids(X, n, cube_size, grid_size)
     iota = jnp.arange(n_pad, dtype=jnp.int32)
     active = iota < n
 
-    n_oob = jnp.sum(_oob_mask(X, n, cube_size, gs), dtype=jnp.int32)
+    n_oob = jnp.sum(_oob_mask(X, n, cube_size, grid_size),
+                    dtype=jnp.int32)
 
     leaves_X, tree_X = jax.tree.flatten(X)
     leaves_ov, tree_ov = jax.tree.flatten(old_v)
@@ -137,7 +140,7 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
 
     n_unrouted = jnp.int32(0)
     from .lattice_pour import pour_supported
-    if pallas_pour and pour_supported(n_pad, gs, C):
+    if pallas_pour and pour_supported(n_pad, grid_size, C):
         # butterfly pour kernel: the K per-channel scatters (~5 ms each at
         # 500k) become one conflict-free roll/select routing pass on the
         # VPU (ops/lattice_pour.py); exact-equality vs the scatter path is
@@ -147,10 +150,11 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
                         DST_SENTINEL)
         S = jnp.stack(list(sorted_vals)
                       + [order.astype(jnp.float32), dst])
-        row_id = jnp.minimum(sorted_cid // gs, gs * gs)
-        cnt = jnp.zeros(gs * gs + 1, jnp.int32).at[row_id].add(1)
+        row_id = jnp.minimum(sorted_cid // gx, gy * gz)
+        cnt = jnp.zeros(gy * gz + 1, jnp.int32).at[row_id].add(1)
         row_starts = (jnp.cumsum(cnt) - cnt).astype(jnp.int32)
-        outp, live, n_unrouted = pour_pallas(S, row_starts, n_pad, gs, C)
+        outp, live, n_unrouted = pour_pallas(S, row_starts, n_pad,
+                                             grid_size, C)
         T = jax.tree.unflatten(tree_X, [outp[k] for k in range(nx)])
         Tov = jax.tree.unflatten(tree_ov,
                                  [outp[nx + c] for c in range(3)])
@@ -222,25 +226,25 @@ def lattice_rebin(layout: LatticeLayout, cube_size, grid_size, capacity,
     (their forces would silently differ from a fresh build's).
     """
     from .common import cube_coord
-    gs, C = grid_size, capacity
-    n_cubes = gs * gs * gs
+    gx, gy, gz = _grid_dims(grid_size)
+    C = capacity
+    n_cubes = gx * gy * gz
     n_slots = layout.pid.shape[0]
     n_pad = layout.slot_of.shape[0]
     T, Tov = layout.T, layout.Tov
     occ = layout.pid < n_pad
-    half = gs // 2
 
     def cid_of(P, live):
-        cid = (cube_coord(P.z, cube_size, gs) * gs
-               + cube_coord(P.y, cube_size, gs)) * gs \
-            + cube_coord(P.x, cube_size, gs)
+        cid = (cube_coord(P.z, cube_size, gz) * gy
+               + cube_coord(P.y, cube_size, gy)) * gx \
+            + cube_coord(P.x, cube_size, gx)
         return jnp.where(live, cid, n_cubes)
 
     def oob_of(P, live):
         bad = jnp.zeros_like(live)
-        for v in (P.x, P.y, P.z):
-            c = jnp.floor(v / cube_size).astype(jnp.int32) + half
-            bad = bad | (c < 0) | (c >= gs)
+        for v, g in ((P.x, gx), (P.y, gy), (P.z, gz)):
+            c = jnp.floor(v / cube_size).astype(jnp.int32) + g // 2
+            bad = bad | (c < 0) | (c >= g)
         return bad & live
 
     cid_new = cid_of(T, occ)
@@ -408,13 +412,14 @@ def _gap_deficit(P, Q, grid_size):
     by ALSO closing the v-gap -- and flagged tissue shear (lateral
     slip) that misses no pairs at all.
     """
-    gs = grid_size
+    gx, gy, gz = _grid_dims(grid_size)
+    shape3 = (gz, gy, gx)
     big = jnp.float32(3e38)
     # cube ids are x-minor (common.cube_ids): reshaped array axes are
     # (z, y, x), so data axis u (0=x, 1=y, 2=z) lives on array axis
     # 2 - u.
-    P3 = [P[u].reshape(gs, gs, gs) for u in range(3)]
-    Q3 = [Q[u].reshape(gs, gs, gs) for u in range(3)]
+    P3 = [P[u].reshape(shape3) for u in range(3)]
+    Q3 = [Q[u].reshape(shape3) for u in range(3)]
 
     def pool(A, ax, k, keep_max):
         fill = -big if keep_max else big
@@ -422,7 +427,7 @@ def _gap_deficit(P, Q, grid_size):
                      constant_values=fill)
         m = None
         for t in range(2 * k + 1):
-            s = jax.lax.dynamic_slice_in_dim(Ap, t, gs, axis=ax)
+            s = jax.lax.dynamic_slice_in_dim(Ap, t, shape3[ax], axis=ax)
             m = s if m is None else (jnp.maximum(m, s) if keep_max
                                      else jnp.minimum(m, s))
         return m
@@ -432,7 +437,8 @@ def _gap_deficit(P, Q, grid_size):
         pad = [(0, d) if a == ax else (0, 0) for a in range(3)] if d >= 0 \
             else [(-d, 0) if a == ax else (0, 0) for a in range(3)]
         Ap = jnp.pad(A, pad, constant_values=fill)
-        return jax.lax.dynamic_slice_in_dim(Ap, max(d, 0), gs, axis=ax)
+        return jax.lax.dynamic_slice_in_dim(Ap, max(d, 0), shape3[ax],
+                                            axis=ax)
 
     deficit = jnp.float32(-big)
     # single-axis escapes: partner +2 along u, lateral pooled +-1
@@ -486,12 +492,13 @@ def lattice_pairwise_resident(pw_int, pw_friction, layout, n, cube_size, *,
     shift is a C-periodic constant mask.  Every pair term is an elementwise
     op on ``[z_block, gs, gs*C]`` tiles -- no gathers, no tiny minor dims.
     """
-    gs, C = grid_size, capacity
+    gx, gy, gz = _grid_dims(grid_size)
+    C = capacity
     n_pad = layout.slot_of.shape[0]  # empty-slot sentinel value in pid
     occ = layout.pid < n_pad
 
     def padded(a, fill=0):
-        return jnp.pad(a.reshape(-1, gs, gs * C), ((1, 1), (1, 1), (0, 0)),
+        return jnp.pad(a.reshape(gz, gy, gx * C), ((1, 1), (1, 1), (0, 0)),
                        constant_values=fill)
 
     P = jax.tree.map(padded, layout.T)
@@ -500,7 +507,7 @@ def lattice_pairwise_resident(pw_int, pw_friction, layout, n, cube_size, *,
     Pocc = padded(occ, False)
     Ppid = padded(layout.pid, n_pad)
     return pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid,
-                              cube_size, grid_size=gs, capacity=C,
+                              cube_size, grid_size=gx, capacity=C,
                               z_block=z_block)
 
 
@@ -514,11 +521,12 @@ def pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid, cube_size, *,
     halo planes (via ``ppermute``) instead of the single-chip zero padding.
     Returns flat ``[gs_z * gs_y * gs_x * C]`` sums for the interior.
     """
-    gs, C = grid_size, capacity
-    gz = Pocc.shape[0] - 2          # interior z planes (gs on one chip)
+    gs, C = grid_size, capacity      # gs = x cubes (lane-aligned axis)
+    gz = Pocc.shape[0] - 2          # interior z planes (local slab extent)
+    gy = Pocc.shape[1] - 2          # interior y rows
     W = gs * C                      # flat x-row width
     PAD = 2 * C                     # x halo for shifts
-    n_slots = gz * gs * W
+    n_slots = gz * gy * W
 
     def xpad(a, fill=0):
         return jnp.pad(a, ((0, 0), (0, 0), (PAD, PAD)),
@@ -561,7 +569,7 @@ def pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid, cube_size, *,
     def eval_slab(zi):
         z0 = zi * zb
         isl = lambda a: jax.lax.dynamic_slice(
-            a, (z0 + 1, 1, PAD), (zb, gs, W))
+            a, (z0 + 1, 1, PAD), (zb, gy, W))
         Xi = jax.tree.map(isl, P)
         occ_i = isl(Pocc)
         i_ids = isl(Ppid)
@@ -571,7 +579,7 @@ def pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid, cube_size, *,
             for u in range(UNROLL):
                 dz, dy, r, wt = dzg[u], dyg[u], rg[u], wg[u]
                 jsl = lambda a: jax.lax.dynamic_slice(
-                    a, (z0 + 1 + dz, 1 + dy, PAD + r), (zb, gs, W))
+                    a, (z0 + 1 + dz, 1 + dy, PAD + r), (zb, gy, W))
                 # x-cube offset of the partner slot, per lane (C-periodic)
                 dcube = (lane_c + r) // C
                 in_x = (dcube >= -1) & (dcube <= 1)
@@ -588,7 +596,7 @@ def pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid, cube_size, *,
                        {k: acc[3][k] + out[3][k] for k in acc[3]})
             return acc, None
 
-        zero = jnp.zeros((zb, gs, W), jnp.float32)
+        zero = jnp.zeros((zb, gy, W), jnp.float32)
         # Probe the force's output structure (dF type may differ from the
         # augmented input type; aux dict keys must be static).
         from .common import split_force_output
@@ -830,7 +838,8 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         # evaluates forces THERE, so their excursions must not escape
         # the certificate.
         big = jnp.float32(3e38)
-        n_cubes = gs ** 3
+        gdx, gdy, gdz = _grid_dims(gs)
+        n_cubes = gdx * gdy * gdz
         track = force_r_max is not None
         if track and extras_cap:
             eci = _cube_ids(lay.E, jnp.int32(lay.epid.shape[0]), cube_size,

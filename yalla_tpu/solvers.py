@@ -106,7 +106,9 @@ class LatticeEngine:
     when ``rebuild_every > 1``: a chunk whose measured displacement could
     hide a just-entering pair within the binning margin
     (``cube_size - force_r_max``) raises ``__err_stale``."""
-    grid_size: int = 64
+    grid_size: int | tuple = 64   # int (cubic) or (gx, gy, gz): only x
+    #                               pays the 128-lane row rule (gx*capacity
+    #                               % 128); y/z are free at multiples of 8
     capacity: int = 8
     z_block: int = 4
     rebuild_every: int = 1
@@ -120,10 +122,12 @@ class LatticeEngine:
     extras_block_cap: int = 16
 
     def __post_init__(self):
-        # z_block must divide grid_size (slab scan); shrink quietly so
-        # e.g. Solution(solver="lattice", grid_size=50) just works
-        zb = min(self.z_block, self.grid_size)
-        while self.grid_size % zb:
+        # z_block must divide the grid's z extent (slab scan); shrink
+        # quietly so e.g. Solution(solver="lattice", grid_size=50) works
+        from .ops.common import grid_dims
+        gz = grid_dims(self.grid_size)[2]
+        zb = min(self.z_block, gz)
+        while gz % zb:
             zb -= 1
         object.__setattr__(self, "z_block", max(zb, 1))
 
