@@ -80,7 +80,7 @@ def test_inloop_grid_row_overflow_raises():
     import pytest
     from yalla_tpu import SimulationError
     pts = Solution(Float3, 64, solver="grid", grid_size=16, row_cap=4)
-    pts.h_X.x[:] = np.linspace(0, 0.4, 64)  # 64 points in one cube row
+    pts.h_X.x[:64] = np.linspace(0, 0.4, 64)  # 64 points in one cube row
     pts.copy_to_device()
     with pytest.raises(SimulationError, match="grid_overflow"):
         pts.take_step(0.1, _relu)

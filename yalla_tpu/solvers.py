@@ -60,17 +60,22 @@ class SimulationError(RuntimeError):
 class TileEngine:
     """All-pairs O(N^2) (ref Tile_computer, solvers.cuh:324-342).
 
-    ``pallas=True`` runs the fused 8x128-pair-tile TPU kernel
+    ``pallas`` runs the fused 8x128-pair-tile TPU kernel
     (ops/tile_pallas.py) -- the small-N latency path where compact
     tissues drive the lattice capacity through the roof; needs
-    ``n_pad % 128 == 0`` and no sharded window."""
+    ``n_pad % 128 == 0`` and no sharded window.  ``None`` (default)
+    auto-selects it on the TPU backend whenever those conditions hold,
+    so the reference's small models (springs, oscillators, epithelium)
+    get the fused kernel without per-model configuration."""
     j_block: int | None = None
-    pallas: bool = False
+    pallas: bool | None = None
 
     def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
                  i_offset=0, i_size=None):
         del cube_size  # no cutoff in the all-pairs engine
-        if self.pallas and i_offset == 0 and i_size is None \
+        use_pallas = self.pallas if self.pallas is not None \
+            else jax.default_backend() == "tpu"
+        if use_pallas and i_offset == 0 and i_size is None \
                 and X.x.shape[0] % 128 == 0:
             from .ops.tile_pallas import tile_pairwise_pallas
             return tile_pairwise_pallas(pw_int, pw_friction, X, old_v, n)
@@ -385,8 +390,10 @@ def heun_steps(n_steps, engine, pw_int, pw_friction, gen, fix_mode,
 # --------------------------------------------------------------------------
 
 def _pad_size(n_max):
+    # 128-lane multiples so the fused all-pairs Pallas tile kernel (and
+    # every lane-aligned fetch) engages without per-model padding config
     if n_max <= 4096:
-        return max(64, -(-n_max // 64) * 64)
+        return max(128, -(-n_max // 128) * 128)
     return -(-n_max // 4096) * 4096
 
 
