@@ -47,7 +47,7 @@ def test_sharded_tile_matches_single():
     assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
     n = 50
     init, single = _run_single("tile", n, 2)
-    sharded = _run_sharded(TileEngine(), init, n, 64, 2)
+    sharded = _run_sharded(TileEngine(), init, n, len(init.x), 2)
     assert isclose(sharded.x[:n], single.x[:n]), "Sharded tile disagrees in x"
     assert isclose(sharded.y[:n], single.y[:n]), "Sharded tile disagrees in y"
     assert isclose(sharded.z[:n], single.z[:n]), "Sharded tile disagrees in z"
@@ -56,7 +56,7 @@ def test_sharded_tile_matches_single():
 def test_sharded_grid_matches_single():
     n = 50
     init, single = _run_single("grid", n, 2)
-    sharded = _run_sharded(GridEngine(), init, n, 64, 2)
+    sharded = _run_sharded(GridEngine(), init, n, len(init.x), 2)
     assert isclose(sharded.x[:n], single.x[:n]), "Sharded grid disagrees in x"
     assert isclose(sharded.y[:n], single.y[:n]), "Sharded grid disagrees in y"
     assert isclose(sharded.z[:n], single.z[:n]), "Sharded grid disagrees in z"
