@@ -410,9 +410,9 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
     def kernel(scal_ref, act_ref, *refs):
         if has_extras:
             (et_sref, Ai_hbm, Aj_hbm, out_ref, out2_ref,
-             xi_ref, rj_ref, sems) = refs
+             xi_ref, rj_ref, rr_ref, sems) = refs
         else:
-            Ai_hbm, Aj_hbm, out_ref, xi_ref, rj_ref, sems = refs
+            Ai_hbm, Aj_hbm, out_ref, xi_ref, rj_ref, rr_ref, sems = refs
         zi = pl.program_id(0)
         yi = pl.program_id(1)
         out_ref[...] = jnp.zeros((M,) + shape, jnp.float32)
@@ -555,7 +555,12 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
             # j-block pre-rolled so iteration t sees shift s = t - (2C - 1):
             # rolled[l] = orig[l + s].  The (dz, dy) windows are free static
             # slices of the halo'd j-block -- no rolls, no edge masks.
-            rj_ref[...] = pltpu.roll(rj_ref[...], 2 * C - 1, axis=3)
+            # The roll operates on a NARROW scratch holding only the live
+            # yb + 2 halo rows: the 8-aligned DMA fetch window carries
+            # yb + 16 rows, and rolling its 14 dead alignment rows 4C - 1
+            # times per block cost ~25% of the total roll issue slots
+            rr_ref[...] = pltpu.roll(
+                rj_ref[:, :, 7:7 + yb + 2], 2 * C - 1, axis=3)
 
             def body(t, _):
                 s = t - (2 * C - 1)
@@ -566,10 +571,8 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                 for dz in (0, 1, 2):
                     for dy in (0, 1, 2):
                         def jsl(c):
-                            # real y halo sits at rows [7, 8 + yb + 1) of
-                            # the aligned 24-row fetch window
-                            return rj_ref[c, dz:dz + zb,
-                                          7 + dy:7 + dy + yb]
+                            # rr_ref rows are the real +-1 y halo window
+                            return rr_ref[c, dz:dz + zb, dy:dy + yb]
 
                         r = unflatten_pt(
                             [(xi_leaf(k) - jsl(xj_fields.index(k)))
@@ -594,7 +597,7 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                         accumulate(outs, cut, ovj)
 
                 # advance to the next shift: rolled[l] <- rolled[l + 1]
-                rj_ref[...] = pltpu.roll(rj_ref[...], W - 1, axis=3)
+                rr_ref[...] = pltpu.roll(rr_ref[...], W - 1, axis=3)
                 return 0
 
             jax.lax.fori_loop(0, n_shifts, body, 0)
@@ -607,7 +610,8 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                               memory_space=pltpu.VMEM)]
     out_shapes = [jax.ShapeDtypeStruct((M, gz, gy, W), jnp.float32)]
     scratch = [pltpu.VMEM((K_i, zb, yb, W), jnp.float32),
-               pltpu.VMEM((K_j, zb + 2, yb + 16, W), jnp.float32)]
+               pltpu.VMEM((K_j, zb + 2, yb + 16, W), jnp.float32),
+               pltpu.VMEM((K_j, zb + 2, yb + 2, W), jnp.float32)]
     prefetch = [jnp.asarray([cube_size], jnp.float32), act]
     if has_extras:
         # the extras channel table rides SMEM as a third prefetch scalar
