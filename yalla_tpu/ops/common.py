@@ -57,6 +57,15 @@ def friction_on_background(Xi, r, dist, i, j):
     return jnp.zeros_like(dist)
 
 
+# central-form declarations for the MXU all-pairs path
+# (ops/central_mxu.py): f(dist, Si, Sj) with invalid pairs -- padding and
+# the i == j diagonal -- excluded by distance poisoning
+friction_w_neighbour.central_coef = \
+    lambda dist, Si, Sj: (dist < 1.0).astype(jnp.float32)
+friction_on_background.central_coef = \
+    lambda dist, Si, Sj: jnp.zeros_like(dist)
+
+
 def mask_tree(tree, mask):
     return jax.tree.map(lambda a: jnp.where(mask, a, jnp.zeros_like(a)), tree)
 

@@ -69,14 +69,29 @@ class TileEngine:
     get the fused kernel without per-model configuration."""
     j_block: int | None = None
     pallas: bool | None = None
+    mxu: bool | None = None
 
     def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
                  i_offset=0, i_size=None):
         del cube_size  # no cutoff in the all-pairs engine
         use_pallas = self.pallas if self.pallas is not None \
             else jax.default_backend() == "tpu"
-        if use_pallas and i_offset == 0 and i_size is None \
-                and X.x.shape[0] % 128 == 0:
+        # ``mxu`` routes central_force-declared forces (with a friction
+        # carrying ``central_coef``) to the matmul-factored kernel
+        # (ops/central_mxu.py): pair distances, bilinear channels, and
+        # the force/friction reductions ride the MXU, only the radial
+        # coefficient costs VPU time.  None auto-selects alongside
+        # ``pallas``; agreement with the generic path is statistical
+        # (f32 matmul rounding) -- tests/test_central.py quantifies it.
+        use_mxu = self.mxu if self.mxu is not None else use_pallas
+        whole = i_offset == 0 and i_size is None
+        if use_mxu and whole and X.x.shape[0] % 128 == 0 \
+                and getattr(pw_int, "fields", None) is not None \
+                and hasattr(pw_int, "coef") \
+                and hasattr(pw_friction, "central_coef"):
+            from .ops.central_mxu import central_pairwise_mxu
+            return central_pairwise_mxu(pw_int, pw_friction, X, old_v, n)
+        if use_pallas and whole and X.x.shape[0] % 128 == 0:
             from .ops.tile_pallas import tile_pairwise_pallas
             return tile_pairwise_pallas(pw_int, pw_friction, X, old_v, n)
         return tile_pairwise(pw_int, pw_friction, X, old_v, n,
