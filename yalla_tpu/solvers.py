@@ -84,7 +84,10 @@ class TileEngine:
         # ``pallas``; agreement with the generic path is statistical
         # (f32 matmul rounding) -- tests/test_central.py quantifies it.
         use_mxu = self.mxu if self.mxu is not None else use_pallas
-        whole = i_offset == 0 and i_size is None
+        # i_offset is traced in the sharded path -- the fused whole-
+        # population kernels only apply to the static untiled case
+        whole = (i_size is None and isinstance(i_offset, int)
+                 and i_offset == 0)
         if use_mxu and whole and X.x.shape[0] % 128 == 0 \
                 and getattr(pw_int, "fields", None) is not None \
                 and hasattr(pw_int, "coef") \
