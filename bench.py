@@ -691,6 +691,12 @@ def measure(n_cells, n_steps, seed=0, builder=None):
                           False))
             r //= 2
         if can_rebin:
+            # rebin at rebuild 1 still evaluates the corrector under the
+            # chunk-start binning -- needs the single-step margin, sized
+            # by the same 0.6x/halving scaling
+            m1 = m * 0.6 if rebuild0 > 1 else margin
+            cands.append((round(1.0 + min(m1 / run0.r_max, 0.45), 3), 1,
+                          True))
             cands.append((1.0, 1, True))   # base cube; resized on flag
         for cube_m, rb, rbn in cands:
             sized = run0 if cube_m == 1.0 else run0.remake((cube_m,))

@@ -122,3 +122,39 @@ def test_planes_extras_match_flat_kernel():
     el = np.asarray(lay.epid) < n_pad
     _compare(flat[4], planes[4], el, "extras-side")
     assert float(planes[4][3]["__err_extras_block"]) == 0.0
+
+
+def test_preplaned_chunks_match_default():
+    """PLANES_CHUNKS mode: planeified resident chunks through
+    lattice_heun_steps reproduce the default path exactly (same physics,
+    different slot order + kernel)."""
+    import yalla_tpu.ops.lattice_xla as LX
+    from yalla_tpu.ops.lattice_xla import lattice_heun_steps
+
+    n, n_pad = 600, 1024
+    X, ov = _state(n, n_pad, 13, 6.5)
+    args = (force, friction_w_neighbour, "com", 16, 8, 2)
+
+    def run():
+        lattice_heun_steps.clear_cache()
+        return lattice_heun_steps(
+            4, 2, *args, X, ov, jnp.int32(n), jnp.float32(0.05),
+            jnp.float32(1.0), jnp.int32(0), None, True, None, None,
+            jnp.float32(1.0))
+
+    Xa, ova, auxa = run()
+    old = LX.PLANES_CHUNKS
+    try:
+        LX.PLANES_CHUNKS = True
+        Xb, ovb, auxb = run()
+    finally:
+        LX.PLANES_CHUNKS = old
+        lattice_heun_steps.clear_cache()
+    for f in Xa._fields:
+        assert isclose(np.asarray(getattr(Xa, f))[:n],
+                       np.asarray(getattr(Xb, f))[:n]), f
+    for k in auxa:
+        if k.startswith("stale"):
+            continue
+        assert isclose(np.asarray(auxa[k], np.float32),
+                       np.asarray(auxb[k], np.float32)), k

@@ -192,7 +192,7 @@ DEFAULT_Y_BLOCK = 16
 def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                             grid_size, capacity, z_block, y_block=None,
                             extras_block_cap=16, grid_z=None, n_pad=None,
-                            z_halo=None, planes=None):
+                            z_halo=None, planes=None, pre_planed=False):
     """Pairwise sums in lattice layout on the TPU VPU (see module docs).
 
     Returns (F (dF-typed tree), sum_friction, sum_v 3-tuple, aux dict),
@@ -227,7 +227,12 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
     from .common import grid_dims
     from .lattice_planes import lattice_pairwise_planes, planes_supported
     if planes is None:
-        planes = planes_supported(grid_size, capacity)
+        # auto: the per-pass operand transposes make non-pre_planed
+        # planes a net LOSS (~36 ms/pass at 500k) -- only dispatch when
+        # the caller keeps its state in planes order (lattice_heun_steps
+        # does); the z-slab sharded path stays on the flat kernel
+        planes = pre_planed and planes_supported(grid_size, capacity)
+    assert planes or not pre_planed
     if planes:
         # slot-plane layout: ~25% fewer lane-evals and 3P rolls instead
         # of 4C - 1 per block (lattice_planes module docs)
@@ -235,7 +240,8 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
             pw_int, pw_friction, layout, n, cube_size,
             grid_size=grid_size, capacity=capacity, z_block=z_block,
             y_block=y_block, extras_block_cap=extras_block_cap,
-            grid_z=grid_z, n_pad=n_pad, z_halo=z_halo)
+            grid_z=grid_z, n_pad=n_pad, z_halo=z_halo,
+            pre_planed=pre_planed)
     gx, gy, gz_full = grid_dims(grid_size)
     C = capacity
     gz = grid_z if grid_z is not None else gz_full

@@ -50,6 +50,10 @@ from .lattice_pallas import (DEFAULT_Y_BLOCK, X_SENTINEL, _dependence,
 
 __all__ = ["lattice_pairwise_planes", "planes_supported"]
 
+# experiment toggle (benchmarks/diag_planes_pass.py): unroll the pj loop
+# into static slices instead of a fori with dynamic leading-dim indexing
+UNROLL_PJ = False
+
 
 def planes_supported(grid_size, capacity):
     """Shapes the slot-plane layout can serve: x-row fits 128 lanes an
@@ -80,12 +84,48 @@ def _halo_to_planes(a, gy, gx, R, P):
         .reshape(R, gy, P * gx)
 
 
+def planeify_layout(lay, grid_size, capacity):
+    """Transpose a freshly-built layout into planes linear order, so a
+    resident chunk pays ONE state transpose per rebuild instead of
+    re-transposing every kernel operand each pass (``pre_planed``).
+
+    T/Tov/pid transpose as channels; slot_of values remap by pure integer
+    arithmetic (the map slot -> planes-slot is a fixed permutation); the
+    extras side list is order-free."""
+    from .common import grid_dims
+    gx, gy, gz = grid_dims(grid_size)
+    C = capacity
+    P = 128 // gx
+    R = C // P
+    n_slots = lay.pid.shape[0]
+
+    def tp(a):
+        return _to_planes(a, gz, gy, gx, R, P).reshape(n_slots)
+
+    so = lay.slot_of
+    cube, s = jnp.divmod(jnp.minimum(so, n_slots - 1), C)
+    zy, cx = jnp.divmod(cube, gx)
+    pr, h = jnp.divmod(s, P)
+    ns = ((pr * gz * gy + zy) * 128 + h * gx + cx).astype(so.dtype)
+    ns = jnp.where(so < n_slots, ns, n_slots)
+    return lay._replace(T=jax.tree.map(tp, lay.T),
+                        Tov=jax.tree.map(tp, lay.Tov),
+                        pid=tp(lay.pid), slot_of=ns)
+
+
 def lattice_pairwise_planes(pw_int, pw_friction, layout, n, cube_size, *,
                             grid_size, capacity, z_block, y_block=None,
                             extras_block_cap=16, grid_z=None, n_pad=None,
-                            z_halo=None):
+                            z_halo=None, pre_planed=False):
     """Pairwise sums in slot-plane layout (module docs).  Same contract
-    and returns as ``lattice_pallas.lattice_pairwise_pallas``."""
+    and returns as ``lattice_pallas.lattice_pairwise_pallas``.
+
+    ``pre_planed``: the layout's slot arrays are ALREADY in planes linear
+    order (``_to_planes`` applied; ``lattice_heun_steps`` keeps resident
+    chunks in that order) -- operand construction is then pure reshapes
+    and the results come back in the same order.  The XLA-side transposes
+    otherwise cost ~36 ms/pass at 500k (benchmarks/diag_planes_pass.py),
+    comparable to the kernel itself."""
     from .common import grid_dims
     gx, gy, gz_full = grid_dims(grid_size)
     C = capacity
@@ -202,7 +242,12 @@ def lattice_pairwise_planes(pw_int, pw_friction, layout, n, cube_size, *,
         SUMF, SUMV = M, M + 1
         M += 4
 
-    planes = partial(_to_planes, gz=gz, gy=gy, gx=gx, R=R, P=P)
+    if pre_planed:
+        planes = lambda a: a.reshape(R, gz, gy, 128)
+        hplanes = lambda a: a.reshape(R, gy, 128)
+    else:
+        planes = partial(_to_planes, gz=gz, gy=gy, gx=gx, R=R, P=P)
+        hplanes = partial(_halo_to_planes, gy=gy, gx=gx, R=R, P=P)
 
     def stack_i(chs):
         return jnp.stack([planes(c) for c in chs])
@@ -227,7 +272,6 @@ def lattice_pairwise_planes(pw_int, pw_friction, layout, n, cube_size, *,
         return jnp.stack(outs)          # (K_j, R, gz+2, gy+16, 128)
 
     A_i = stack_i(xi_channels)          # (K_i, R, gz, gy, 128)
-    hplanes = partial(_halo_to_planes, gy=gy, gx=gx, R=R, P=P)
     if z_halo is not None:
         lo_l, hi_l, lo_ov3, hi_ov3, lo_occ, hi_occ = z_halo
         lo_p = [jnp.where(lo_occ, lo_l[0], X_SENTINEL)] + list(lo_l[1:])
@@ -250,8 +294,12 @@ def lattice_pairwise_planes(pw_int, pw_friction, layout, n, cube_size, *,
             layout, t_fields, have_fr, nz, ny, zb, yb,
             cube_size, grid_size, E_b)
 
-    act = occ.reshape(nz, zb, ny, yb * gx * C).any(axis=(1, 3)) \
-        .reshape(-1).astype(jnp.int32)
+    if pre_planed:
+        act = occ.reshape(R, nz, zb, ny, yb * 128).any(axis=(0, 2, 4)) \
+            .reshape(-1).astype(jnp.int32)
+    else:
+        act = occ.reshape(nz, zb, ny, yb * gx * C).any(axis=(1, 3)) \
+            .reshape(-1).astype(jnp.int32)
 
     STRY = (yb + 2) * 128
     STRP = (zb + 2) * STRY
@@ -283,7 +331,6 @@ def lattice_pairwise_planes(pw_int, pw_friction, layout, n, cube_size, *,
             cp_i.wait()
             cp_j.wait()
 
-            zero = jnp.zeros(shape, jnp.float32)
             zero4 = jnp.zeros(shape4, jnp.float32)
 
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
@@ -294,22 +341,28 @@ def lattice_pairwise_planes(pw_int, pw_friction, layout, n, cube_size, *,
             # i == j exactly on the structural diagonal (same row-plane,
             # same z/y, same lane), which the loop excludes
             pos3 = ((zrow + 1) * (yb + 2) + (yrow + 1)) * 128 + lane
-            i_ids3 = pos3.astype(jnp.float32)
             prow = jax.lax.broadcasted_iota(jnp.int32, (R, 1, 1, 1), 0)
             i_ids4 = (prow * STRP + pos3[None]).astype(jnp.float32)
 
-            def accumulate4(outs, cut, ovj):
-                # full-block accumulate (diag/extras j-side)
+            # every contribution (diag, extras, windows) accumulates into
+            # VALUE locals threaded through the loops; out_ref is written
+            # exactly once per block (VMEM read-modify-writes per window
+            # measured a 1.4x slowdown)
+            def add_into(av, outs, cut, ovj):
+                av = list(av)
                 for o, acc in acc_of_out.items():
                     v = jnp.broadcast_to(outs[o], shape4)
-                    out_ref[acc] += v if cut is None else v * cut
+                    av[acc] = av[acc] + (v if cut is None else v * cut)
                 if have_fr:
                     fr = jnp.broadcast_to(outs[n_dF], shape4)
                     if cut is not None:
                         fr = fr * cut
-                    out_ref[SUMF] += fr
+                    av[SUMF] = av[SUMF] + fr
                     for c in range(3):
-                        out_ref[SUMV + c] += fr * ovj[c]
+                        av[SUMV + c] = av[SUMV + c] + fr * ovj[c]
+                return av
+
+            acc_v = [zero4] * M
 
             def call_force(fn, Xi, r, dist, i_ids, j_ids):
                 dF, aux = _split_probe(fn(Xi, r, dist, i_ids, j_ids))
@@ -326,7 +379,7 @@ def lattice_pairwise_planes(pw_int, pw_friction, layout, n, cube_size, *,
                 outs = call_force(pw_int, Xi4, r0, zero4, i_ids4, i_ids4)
                 ov_i = ([xi_ref[XI_OV + c] for c in range(3)]
                         if fr_diag else (zero4, zero4, zero4))
-                accumulate4(outs, None, ov_i)
+                acc_v = add_into(acc_v, outs, None, ov_i)
 
             # --- overflow extras (against the UNSHIFTED interior) ----------
             if has_extras:
@@ -354,7 +407,7 @@ def lattice_pairwise_planes(pw_int, pw_friction, layout, n, cube_size, *,
                     outs1 = call_force(pw_off, Xi4, r1, d1, i_ids4, e_id)
                     ovj1 = tuple(ecol(T_OV + c) for c in range(3)) \
                         if have_fr else (zero4, zero4, zero4)
-                    accumulate4(outs1, cut_e, ovj1)
+                    acc_v = add_into(acc_v, outs1, cut_e, ovj1)
 
                     Xe_pt = unflatten_pt(
                         [xe[k] if k in tcol else 0.0 for k in range(nf)])
@@ -382,12 +435,11 @@ def lattice_pairwise_planes(pw_int, pw_friction, layout, n, cube_size, *,
                                     jnp.sum(fr2 * jcen(RJ_OV + c)), 0.0)
                     out2_ref[e:e + 1, :] = row
 
-            # --- 3P roll variants x fori(pi) x fori(pj) window loop ---------
-            # (dz, dy) windows are STATIC slices; the per-(pi, pj) window
-            # sums accumulate in VALUE locals carried through the pj loop,
-            # so out_ref pays one read-modify-write per (variant, pi)
-            # instead of one per eval (dynamic-index RMW per window
-            # measured 1.5x slower than the flat kernel)
+            # --- 3P roll variants x fori(pj) x 9 static windows -------------
+            # Each (variant, pj, dz, dy) window is evaluated against ALL R
+            # i-row-planes at once (the j window is identical for every
+            # pi), so vector ops run at (R, zb, yb, 128) granularity with
+            # no per-pi loop and no dynamic i-side slicing.
             for dh in range(P):
                 for dc in (-1, 0, 1):
                     s_v = dh * gx + dc
@@ -395,81 +447,53 @@ def lattice_pairwise_planes(pw_int, pw_friction, layout, n, cube_size, *,
                         rj_ref[:, :, :, 7:7 + yb + 2], (128 - s_v) % 128,
                         axis=4)
                     # cube-edge validity: i at cube cx pairs j at cx + dc
-                    edge = (cx + dc >= 0) & (cx + dc < gx)
-                    jlane = ((lane + s_v) % 128).astype(jnp.float32)
+                    edge = ((cx + dc >= 0) & (cx + dc < gx))[None]
+                    jlane = ((lane + s_v) % 128).astype(jnp.float32)[None]
                     identity = (dh == 0 and dc == 0)
 
-                    def pi_body(pi, _, edge=edge, jlane=jlane,
+                    def pj_body(pj, acc_v, edge=edge, jlane=jlane,
                                 identity=identity):
-                        Xi_leaves = [
-                            xi_ref[xi_fields.index(k), pi] if xi_need[k]
-                            else zero for k in range(nf)]
-                        Xi = unflatten_pt(Xi_leaves)
-                        i_ids = i_ids3 + (pi * STRP).astype(jnp.float32)
+                        jbase = jnp.float32(pj * STRP)
+                        for dz in (0, 1, 2):
+                            for dy in (0, 1, 2):
+                                def jsl(c):
+                                    return rr_ref[c, pj, dz:dz + zb,
+                                                  dy:dy + yb]
 
-                        def pj_body(pj, accs):
-                            jbase = (pj * STRP).astype(jnp.float32)
-                            for dz in (0, 1, 2):
-                                for dy in (0, 1, 2):
-                                    def jsl(c):
-                                        return rr_ref[c, pj, dz:dz + zb,
-                                                      dy:dy + yb]
+                                r = unflatten_pt(
+                                    [(Xi4_leaves[k]
+                                      - jsl(xj_fields.index(k)))
+                                     if xj_need[k] else zero4
+                                     for k in range(nf)])
+                                dist = jnp.sqrt(r.x * r.x + r.y * r.y
+                                                + r.z * r.z)
+                                ok = edge
+                                if identity and dz == 1 and dy == 1:
+                                    # structural diagonal row: hoisted
+                                    # self-pair covers it
+                                    ok = ok & (prow != jnp.int32(pj))
+                                dist = jnp.where(ok, dist, X_SENTINEL)
+                                cut = (dist < csize).astype(jnp.float32)
+                                j_ids = (jbase
+                                         + ((zrow + dz) * STRY
+                                            + (yrow + dy) * 128)
+                                         .astype(jnp.float32)[None]
+                                         + jlane)
+                                outs = call_force(pw_off, Xi4, r, dist,
+                                                  i_ids4, j_ids)
+                                ovj = ([jsl(RJ_OV + c) for c in range(3)]
+                                       if fr_off else (zero4,) * 3)
+                                acc_v = add_into(acc_v, outs, cut, ovj)
+                        return acc_v
 
-                                    r = unflatten_pt(
-                                        [(Xi_leaves[k]
-                                          - jsl(xj_fields.index(k)))
-                                         if xj_need[k] else zero
-                                         for k in range(nf)])
-                                    dist = jnp.sqrt(r.x * r.x + r.y * r.y
-                                                    + r.z * r.z)
-                                    ok = edge
-                                    if identity and dz == 1 and dy == 1:
-                                        # structural diagonal: hoisted
-                                        # self-pair covers it
-                                        ok = ok & (pi != pj)
-                                    dist = jnp.where(ok, dist, X_SENTINEL)
-                                    cut = (dist < csize) \
-                                        .astype(jnp.float32)
-                                    j_ids = (jbase
-                                             + ((zrow + dz) * STRY
-                                                + (yrow + dy) * 128)
-                                             .astype(jnp.float32) + jlane)
-                                    outs = call_force(pw_off, Xi, r, dist,
-                                                      i_ids, j_ids)
-                                    k = 0
-                                    for o in acc_of_out:
-                                        v = jnp.broadcast_to(outs[o],
-                                                             shape) * cut
-                                        accs[k] = accs[k] + v
-                                        k += 1
-                                    if have_fr:
-                                        fr = jnp.broadcast_to(
-                                            outs[n_dF], shape) * cut
-                                        accs[k] = accs[k] + fr
-                                        ovj = ([jsl(RJ_OV + c)
-                                                for c in range(3)]
-                                               if fr_off
-                                               else (zero, zero, zero))
-                                        for c in range(3):
-                                            accs[k + 1 + c] = \
-                                                accs[k + 1 + c] \
-                                                + fr * ovj[c]
-                            return accs
+                    if UNROLL_PJ:
+                        for pj_s in range(R):
+                            acc_v = pj_body(pj_s, acc_v)
+                    else:
+                        acc_v = jax.lax.fori_loop(0, R, pj_body, acc_v)
 
-                        accs = jax.lax.fori_loop(
-                            0, R, pj_body, [jnp.zeros(shape, jnp.float32)
-                                            for _ in range(M)])
-                        k = 0
-                        for o, acc in acc_of_out.items():
-                            out_ref[acc, pi] += accs[k]
-                            k += 1
-                        if have_fr:
-                            out_ref[SUMF, pi] += accs[k]
-                            for c in range(3):
-                                out_ref[SUMV + c, pi] += accs[k + 1 + c]
-                        return 0
-
-                    jax.lax.fori_loop(0, R, pi_body, 0)
+            for m_i in range(M):
+                out_ref[m_i] = acc_v[m_i]
 
     pair_lanes = nz * ny * 3 * P * R * R * 9 * zb * yb * 128
     in_specs = [pl.BlockSpec(memory_space=pl.ANY),
@@ -510,7 +534,10 @@ def lattice_pairwise_planes(pw_int, pw_friction, layout, n, cube_size, *,
         interpret=_interpret(),
     )(*prefetch, A_i, A_j)
 
-    unplane = partial(_from_planes, gz=gz, gy=gy, gx=gx, R=R, P=P)
+    if pre_planed:
+        unplane = lambda a: a.reshape(n_slots)
+    else:
+        unplane = partial(_from_planes, gz=gz, gy=gy, gx=gx, R=R, P=P)
     flat = [unplane(out[0][m]) for m in range(M)]
 
     def unpack(flat_rows, zeros_like):

@@ -57,6 +57,12 @@ def pick_lattice_dims(pos_max, cube_size, max_occ):
             best = (cost, gs, C)
     return best[1], best[2]
 
+# keep resident chunks in slot-plane order and run the planes kernel
+# (lattice_planes).  Off by default: the planes kernel measures ~1.5x the
+# flat kernel's pass time on v5e despite 25% fewer lane-evals
+# (benchmarks/diag_planes_pass.py); flip when the kernel wins.
+PLANES_CHUNKS = False
+
 _OFFSETS = [(dz, dy, dx)
             for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
@@ -474,10 +480,25 @@ def _gap_deficit(P, Q, grid_size):
 
 def slot_to_stable(layout, tree, fill=0.0):
     """Gather a slot-space pytree back to stable-id order (``fill`` for
-    ids with no slot: inactive or capacity-dropped)."""
+    ids with no slot: inactive or capacity-dropped).
+
+    Multi-leaf trees ride ONE stacked column gather: XLA:TPU gathers
+    contiguous [K, 1] columns ~2x faster than K separate row gathers
+    (same measurement as ``lattice_unbuild``; at 500k the per-pass dX
+    gather of the reference-exact rebuild cadence is 11 channels)."""
     n_slots = layout.pid.shape[0]
     ok = layout.slot_of < n_slots
     pick = jnp.where(ok, layout.slot_of, 0)
+    leaves, treedef = jax.tree.flatten(tree)
+    f32 = [a for a in leaves if a.dtype == jnp.float32
+           and a.shape == (n_slots,)]
+    if len(f32) >= 3:
+        G = jnp.stack(f32)[:, pick]
+        it = iter(range(len(f32)))
+        outs = [jnp.where(ok, G[next(it)], fill)
+                if (a.dtype == jnp.float32 and a.shape == (n_slots,))
+                else jnp.where(ok, a[pick], fill) for a in leaves]
+        return jax.tree.unflatten(treedef, outs)
     return jax.tree.map(lambda a: jnp.where(ok, a[pick], fill), tree)
 
 
@@ -668,6 +689,20 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         assert gen is None, \
             "generic forces do not compose with overflow extras yet"
     occ_of = lambda lay: lay.pid < lay.slot_of.shape[0]
+    # slot-plane chunks: keep the resident state in planes linear order so
+    # the Pallas kernel's operands are pure reshapes -- one state
+    # transpose per REBUILD instead of ~30 channel transposes per pass
+    # (lattice_planes module docs; rebin stays in cube-rank order).
+    # Gated by PLANES_CHUNKS until the planes kernel beats the flat one
+    # on-device (benchmarks/diag_planes_pass.py tracks the race)
+    from .lattice_planes import planeify_layout, planes_supported
+    plane_state = bool(pallas) and rebin_m_cap == 0 \
+        and planes_supported(gs, C) and PLANES_CHUNKS
+
+    def build_lay(Xc, ovc):
+        lay = lattice_build(Xc, ovc, n, cube_size, gs, C, extras_cap,
+                            pallas_pour=pallas)
+        return planeify_layout(lay, gs, C) if plane_state else lay
 
     def deriv(lay, T, n, E=None):
         """Derivative in slot space; when overflow extras are enabled the
@@ -683,7 +718,8 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         if pallas:
             from .lattice_pallas import lattice_pairwise_pallas
             pair_fn = partial(lattice_pairwise_pallas,
-                              extras_block_cap=extras_block_cap)
+                              extras_block_cap=extras_block_cap,
+                              pre_planed=plane_state)
         else:
             pair_fn = lattice_pairwise_resident
         outs = pair_fn(pw_int, pw_friction, lay, n, cube_size,
@@ -773,8 +809,7 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         X, old_v, dropped, oob, bad = carry
 
         def dstable(Xc):
-            lay = lattice_build(Xc, old_v, n, cube_size, gs, C,
-                                extras_cap, pallas_pour=pallas)
+            lay = build_lay(Xc, old_v)
             if extras_cap:
                 dXs, aux_s, dXe, aux_e = deriv(lay, lay.T, n, lay.E)
                 dX_st = jax.tree.map(
@@ -846,14 +881,25 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                             gs)
             eci = jnp.where(elive, eci, n_cubes)
 
+        def cube_red(arr, fill, red):
+            """Per-cube reduction over the slot axis, in whichever slot
+            order the chunk runs (cube-rank flat, or planes linear:
+            [R, gz*gy, P, gx] with the cube's slots split over the R and
+            P axes -- both reduce to the same z-major cube-id order)."""
+            v = jnp.where(occ, arr, fill)
+            if plane_state:
+                Pk = 128 // gdx
+                return red(v.reshape(C // Pk, gdz * gdy, Pk, gdx),
+                           axis=(0, 2)).reshape(n_cubes)
+            return red(v.reshape(n_cubes, C), axis=1)
+
         def state_deficit(T_at, E_at):
             P = jnp.full((3, n_cubes), -big)
             Q = jnp.full((3, n_cubes), big)
             for u, f in enumerate(("x", "y", "z")):
-                d2 = getattr(T_at, f).reshape(n_cubes, C)
-                occ2 = occ.reshape(n_cubes, C)
-                P = P.at[u].set(jnp.max(jnp.where(occ2, d2, -big), axis=1))
-                Q = Q.at[u].set(jnp.min(jnp.where(occ2, d2, big), axis=1))
+                d2 = getattr(T_at, f)
+                P = P.at[u].set(cube_red(d2, -big, jnp.max))
+                Q = Q.at[u].set(cube_red(d2, big, jnp.min))
                 if E_at is not None:
                     de = getattr(E_at, f)
                     P = P.at[u, eci].max(jnp.where(elive, de, -big),
@@ -965,8 +1011,7 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
 
     def chunk(carry, _):
         X, old_v, dropped, oob, bad = carry
-        lay = lattice_build(X, old_v, n, cube_size, gs, C, extras_cap,
-                            pallas_pour=pallas)
+        lay = build_lay(X, old_v)
         dropped = jnp.maximum(dropped, lay.n_dropped)
         oob = jnp.maximum(oob, lay.n_oob)
         lay, aux_last, bad_c = run_chunk(lay)
