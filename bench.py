@@ -314,19 +314,22 @@ def build(n_cells, seed=0):
 
         def run(n_steps, rebuild=REBUILD_EVERY, cube_mult=1.0,
                 rebin=False):
-            k = rebuild
+            k = 1 if rebin == "pass" else rebuild
             while n_steps % k:
                 k -= 1
             # rebin: lattice-resident across chunks (slot-space rebinning
             # instead of unbuild+sort+pour); mover capacity sized to ~12%
-            # of the population per chunk, overflow-flagged
+            # of the population per chunk, overflow-flagged.
+            # rebin="pass" re-derives the binning before EVERY pairwise
+            # pass (reference-exact, no staleness certificate needed).
             m_cap = -(-n_cells // 8 // 4096) * 4096 if rebin else 0
             return lattice_heun_steps(
                 n_steps, k, force, friction_w_neighbour, "com", gs, C, zb,
                 X, old_v, n, jnp.float32(p.dt),
                 jnp.float32(cube * cube_mult), jnp.int32(0),
                 polarity_precompute, pallas, None, None,
-                jnp.float32(p.r_max), extras_cap, max(e_b, 8), m_cap)
+                jnp.float32(p.r_max), extras_cap, max(e_b, 8), m_cap,
+                rebin == "pass")
 
         run.config = {"gs": list(gs), "C": int(C),
                       "max_occ": int(max_occ), "cube": float(cube),
@@ -407,7 +410,7 @@ def build_sorting(n_cells, seed=0):
               file=sys.stderr)
 
         def run(n_steps, rebuild=1, cube_mult=1.0, rebin=False):
-            k = rebuild
+            k = 1 if rebin == "pass" else rebuild
             while n_steps % k:
                 k -= 1
             m_cap = max(4096, -(-n_cells // 8 // 64) * 64) if rebin else 0
@@ -416,7 +419,7 @@ def build_sorting(n_cells, seed=0):
                 zb, X, old_v, n, jnp.float32(dt),
                 jnp.float32(cube * cube_mult), jnp.int32(0), None, pallas,
                 None, None, jnp.float32(r_max), extras_cap, max(e_b, 8),
-                m_cap)
+                m_cap, rebin == "pass")
 
         run.config = {"gs": list(gs), "C": int(C),
                       "max_occ": int(max_occ), "cube": float(cube),
@@ -597,7 +600,7 @@ def measure(n_cells, n_steps, seed=0, builder=None):
     results = []
 
     def probe_and_time(run, rebuild, cm=1.0, rebin=False):
-        kw = {"rebin": True} if rebin else {}
+        kw = {"rebin": rebin} if rebin else {}
         out = run(n_steps, rebuild, cm, **kw)  # compile + warm up
         _ = float(np.asarray(out[0].x)[0])  # force completion (readback)
         aux = out[2]
@@ -632,7 +635,7 @@ def measure(n_cells, n_steps, seed=0, builder=None):
         cfg = dict(run.config)
         cfg["rebuild_every"] = rebuild
         cfg["cube_mult"] = cm
-        cfg["rebin"] = bool(rebin)
+        cfg["rebin"] = rebin if isinstance(rebin, str) else bool(rebin)
         results.append((rate, cfg))
         return None
 
@@ -663,6 +666,14 @@ def measure(n_cells, n_steps, seed=0, builder=None):
         return aux
 
     aux = probe_time_track(run0, rebuild0)
+    if can_rebin:
+        # reference-exact per-PASS slot-space rebinning: no staleness
+        # certificate, no margin -- always in the race, both at the
+        # resident plan's cube and at the margin-free cube 1.0 plan
+        probe_time_track(run0, 1, rebin="pass")
+        base = run0.remake((1.0,))
+        if base is not None and base.config != run0.config:
+            probe_time_track(base, 1, rebin="pass")
     if aux is not None:
         closure = float(aux.get("stale_shear_closure", np.nan))
         print(f"# flags at rebuild_every={rebuild0} "

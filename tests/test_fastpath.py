@@ -572,3 +572,59 @@ def test_rebin_resident_matches_stable_resident():
                 zip(jax.tree.leaves(out[0])[:3],
                     jax.tree.leaves(ref[0])[:3]))
         assert d < 1e-5, (rebuild, d)
+
+
+def test_rebin_per_pass_matches_per_pass_build():
+    """rebin_per_pass=True (slot-resident state, binning re-derived
+    before EVERY pairwise pass with the predictor derivative transported
+    through the rebin permutation) must match the chunk_exact path --
+    both are reference-exact cadences (solvers.cuh:494), differing only
+    in slot assignment within a cube (f32 reduction order)."""
+    from yalla_tpu.inits import relu_force
+    from yalla_tpu.ops.common import friction_w_neighbour
+
+    rng = np.random.default_rng(0)
+    n, n_pad = 1200, 1280
+    pos = rng.uniform(-4, 4, (n_pad, 3)).astype(np.float32)
+    X = Float3(x=jnp.asarray(pos[:, 0]), y=jnp.asarray(pos[:, 1]),
+               z=jnp.asarray(pos[:, 2]))
+    ov = Float3.zeros(n_pad)
+    common = (relu_force, friction_w_neighbour, "com", 16, 16, 2, X, ov,
+              jnp.int32(n), jnp.float32(0.01), jnp.float32(1.2),
+              jnp.int32(0), None, False, None, None, jnp.float32(1.0))
+    ref = lattice_heun_steps(8, 1, *common)
+    out = lattice_heun_steps(8, 1, *common, 0, 16, 2048, True)
+    for k, v in out[2].items():
+        if k.startswith("__err"):
+            assert float(np.max(v)) == 0.0, (k, float(np.max(v)))
+    d = max(float(jnp.max(jnp.abs(a - b))) for a, b in
+            zip(jax.tree.leaves(out[0])[:3], jax.tree.leaves(ref[0])[:3]))
+    dov = max(float(jnp.max(jnp.abs(a - b))) for a, b in
+              zip(jax.tree.leaves(out[1]), jax.tree.leaves(ref[1])))
+    assert d < 1e-5 and dov < 1e-5, (d, dov)
+
+
+def test_rebin_per_pass_with_extras_matches():
+    """Per-pass rebin composes with overflow extras: cells spilling a
+    full cube ride the side list; trajectories match chunk_exact."""
+    from yalla_tpu.inits import relu_force
+    from yalla_tpu.ops.common import friction_w_neighbour
+
+    rng = np.random.default_rng(1)
+    n, n_pad = 900, 1024
+    pos = rng.normal(0, 2.0, (n_pad, 3)).astype(np.float32)
+    X = Float3(x=jnp.asarray(pos[:, 0]), y=jnp.asarray(pos[:, 1]),
+               z=jnp.asarray(pos[:, 2]))
+    ov = Float3.zeros(n_pad)
+    common = (relu_force, friction_w_neighbour, "com", 16, 8, 2, X, ov,
+              jnp.int32(n), jnp.float32(0.01), jnp.float32(1.2),
+              jnp.int32(0), None, True, None, None, jnp.float32(1.0))
+    ref = lattice_heun_steps(6, 1, *common, 512, 64, 0)
+    out = lattice_heun_steps(6, 1, *common, 512, 64, 2048, True)
+    for tag, o in (("ref", ref), ("perpass", out)):
+        for k, v in o[2].items():
+            if k.startswith("__err"):
+                assert float(np.max(v)) == 0.0, (tag, k, float(np.max(v)))
+    d = max(float(jnp.max(jnp.abs(a - b))) for a, b in
+            zip(jax.tree.leaves(out[0])[:3], jax.tree.leaves(ref[0])[:3]))
+    assert d < 1e-4, d

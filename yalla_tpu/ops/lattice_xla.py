@@ -210,7 +210,7 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
 
 
 def lattice_rebin(layout: LatticeLayout, cube_size, grid_size, capacity,
-                  m_cap, extras_cap=0):
+                  m_cap, extras_cap=0, carry=None, carry_E=None):
     """Re-derive the binning from the CURRENT slot-space positions.
 
     Produces the same cube MEMBERSHIP as ``lattice_unbuild`` followed by
@@ -230,6 +230,18 @@ def lattice_rebin(layout: LatticeLayout, cube_size, grid_size, capacity,
     overflowed ``m_cap`` and that many points kept a STALE cube
     assignment -- callers must surface it as an in-loop error flag
     (their forces would silently differ from a fresh build's).
+
+    ``carry`` (optional): a pytree of ``[n_slots]`` arrays transported
+    through the same slot permutation as the state channels (with
+    ``carry_E`` its ``[extras_cap]`` extras-list counterpart when extras
+    are enabled).  This is what makes the *per-pass* rebin cadence of
+    ``lattice_heun_steps`` possible: the Heun corrector needs the
+    predictor derivative ``d1`` in the NEW binning's slot order
+    (``X_new = X1 + dt/2 * (d2 - d1)``), so ``d1`` rides the rebin
+    instead of a stable-order round trip.  Returns
+    ``(layout, n_unrebinned, carry2[, carry_E2])`` in that case; values
+    at vacated-but-unfilled slots are stale and must stay masked by
+    occupancy, exactly like the state channels.
     """
     from .common import cube_coord
     gx, gy, gz = _grid_dims(grid_size)
@@ -287,18 +299,26 @@ def lattice_rebin(layout: LatticeLayout, cube_size, grid_size, capacity,
     leaves_T, tree_T = jax.tree.flatten(T)
     leaves_ov, tree_ov = jax.tree.flatten(Tov)
     nx = len(leaves_T)
+    if carry is not None:
+        leaves_c, tree_c = jax.tree.flatten(carry)
+    else:
+        leaves_c, tree_c = [], None
+    lat_chans = leaves_T + leaves_ov + leaves_c
     if has_e:
+        leaves_cE = jax.tree.leaves(carry_E) if carry is not None else []
+        assert len(leaves_cE) == len(leaves_c), \
+            "carry_E must mirror carry when extras are enabled"
+        e_chans = (jax.tree.leaves(layout.E) + jax.tree.leaves(layout.Eov)
+                   + leaves_cE)
         cat = lambda aT, aE: jnp.concatenate([aT[pick], aE])
-        chans = [cat(a, b) for a, b in
-                 zip(leaves_T + leaves_ov,
-                     jax.tree.leaves(layout.E) + jax.tree.leaves(layout.Eov))]
+        chans = [cat(a, b) for a, b in zip(lat_chans, e_chans)]
         list_pid = jnp.concatenate([
             jnp.where(lat_live, layout.pid[pick], n_pad), layout.epid])
         tq = jnp.concatenate([
             jnp.where(lat_live, cid_new[pick], n_cubes),
             cid_of(layout.E, live_e)])
     else:
-        chans = [a[pick] for a in leaves_T + leaves_ov]
+        chans = [a[pick] for a in lat_chans]
         list_pid = jnp.where(lat_live, layout.pid[pick], n_pad)
         tq = jnp.where(lat_live, cid_new[pick], n_cubes)
 
@@ -325,12 +345,14 @@ def lattice_rebin(layout: LatticeLayout, cube_size, grid_size, capacity,
     pid2 = layout.pid.at[clear_at].set(n_pad, mode="drop") \
         .at[dst].set(pid_s, mode="drop")
     outs = [a.at[dst].set(v, mode="drop")
-            for a, v in zip(leaves_T + leaves_ov, chans_s)]
+            for a, v in zip(lat_chans, chans_s)]
     slot_of2 = layout.slot_of.at[
         jnp.where(pid_s < n_pad, pid_s, n_pad)].set(
         jnp.where(fits, dst, n_slots), mode="drop")
     T2 = jax.tree.unflatten(tree_T, outs[:nx])
-    Tov2 = jax.tree.unflatten(tree_ov, outs[nx:])
+    Tov2 = jax.tree.unflatten(tree_ov, outs[nx:nx + 3])
+    carry2 = jax.tree.unflatten(tree_c, outs[nx + 3:]) \
+        if carry is not None else None
     new = layout._replace(T=T2, Tov=Tov2, pid=pid2, slot_of=slot_of2,
                           n_dropped=n_dropped, n_oob=n_oob)
     if has_e:
@@ -343,11 +365,19 @@ def lattice_rebin(layout: LatticeLayout, cube_size, grid_size, capacity,
 
         E2 = jax.tree.unflatten(tree_T, [pour_e(v) for v in chans_s[:nx]])
         Eov2 = jax.tree.unflatten(tree_ov,
-                                  [pour_e(v) for v in chans_s[nx:]])
+                                  [pour_e(v) for v in chans_s[nx:nx + 3]])
+        carry_E2 = jax.tree.unflatten(
+            tree_c, [pour_e(v) for v in chans_s[nx + 3:]]) \
+            if carry is not None else None
         epid2 = jnp.full(epad, n_pad, jnp.int32).at[e_dst].set(
             jnp.where(e_ok, pid_s, n_pad), mode="drop")[:extras_cap]
         new = new._replace(E=E2, Eov=Eov2, epid=epid2,
                            n_extras=jnp.sum(e_ok, dtype=jnp.int32))
+        if carry is not None:
+            return new, n_unrebinned, carry2, carry_E2
+        return new, n_unrebinned
+    if carry is not None:
+        return new, n_unrebinned, carry2
     return new, n_unrebinned
 
 
@@ -637,13 +667,15 @@ def pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid, cube_size, *,
 
 
 @partial(jax.jit,
-         static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 14, 15, 16, 19, 20, 21))
+         static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 14, 15, 16, 19, 20, 21,
+                         22))
 def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                        grid_size, capacity, z_block,
                        X, old_v, n, dt, cube_size, fix_point,
                        precompute=None, pallas=False, gen=None,
                        gen_args=None, force_r_max=None,
-                       extras_cap=0, extras_block_cap=16, rebin_m_cap=0):
+                       extras_cap=0, extras_block_cap=16, rebin_m_cap=0,
+                       rebin_per_pass=False):
     """``n_steps`` Heun steps with lattice-resident state.
 
     Same integration semantics as ``solvers.heun_steps`` (COM/point fixes,
@@ -1033,6 +1065,120 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         return (lay, dropped, oob, bad | bad_c, unre), aux_last
 
     zero = jnp.int32(0)
+    if rebin_m_cap and rebin_per_pass:
+        # Reference-exact cadence (grid.build before EVERY pairwise pass,
+        # solvers.cuh:494) without the reference's cost structure: the
+        # state never leaves slot space.  Each pass re-derives the binning
+        # by slot-space rebinning (movers only), and the Heun corrector
+        # runs in the *predictor state's* binning with the predictor
+        # derivative transported through the rebin permutation
+        # (X_new = X1 + dt/2 * (d2 - d1)).  No staleness certificate is
+        # needed -- every pass evaluates under a fresh binning -- so the
+        # binning margin (and with it the capacity C) stays at the
+        # cost-optimal cube size.  Aux accumulators ride the scan carry in
+        # slot order and are gathered to stable ids ONCE at the end
+        # (__err_* merge elementwise-max across passes; their contract is
+        # global-any, and slot orders differ across passes only by the
+        # movers).
+        assert rebuild_every == 1, \
+            "rebin_per_pass implies rebuild_every == 1"
+        lay0 = lattice_build(X, old_v, n, cube_size, gs, C, extras_cap,
+                             pallas_pour=pallas)
+
+        def reb(lay, carry=None, carry_E=None):
+            return lattice_rebin(lay, cube_size, gs, C, rebin_m_cap,
+                                 extras_cap, carry, carry_E)
+
+        def halfdiff(x1, a, b):
+            return x1 + (b - a) * (0.5 * dt)
+
+        def fold_aux(acc, aux2, aux1):
+            """Accumulate: non-err keys take the corrector pass's latest
+            value; __err_* keys max over (accumulated, pass 1, pass 2)."""
+            out = dict(aux2)
+            for k in out:
+                if k.startswith("__err_"):
+                    out[k] = jnp.maximum(jnp.maximum(out[k], acc[k]),
+                                         jnp.max(aux1[k]))
+            return out
+
+        if extras_cap:
+            aux_shape, auxe_shape = jax.eval_shape(
+                lambda lay: deriv(lay, lay.T, n, lay.E)[1::2], lay0)
+        else:
+            aux_shape = jax.eval_shape(
+                lambda lay: deriv(lay, lay.T, n)[1], lay0)
+            auxe_shape = {}
+        zeros_of = lambda sh: {k: jnp.zeros(v.shape, v.dtype)
+                               for k, v in sh.items()}
+
+        def step_pass(carry, _):
+            lay, aux_c, auxe_c, dropped, oob, bad, unre = carry
+            lay, un1 = reb(lay)
+            dropped = jnp.maximum(dropped, lay.n_dropped)
+            oob = jnp.maximum(oob, lay.n_oob)
+            unre = jnp.maximum(unre, un1)
+            if extras_cap:
+                d1, aux1, d1e, aux1e = deriv(lay, lay.T, n, lay.E)
+                lay = lay._replace(
+                    T=jax.tree.map(lambda a, b: a + b * dt, lay.T, d1),
+                    E=jax.tree.map(lambda a, b: a + b * dt, lay.E, d1e))
+                lay, un2, d1, d1e = reb(lay, d1, d1e)
+                unre = jnp.maximum(unre, un2)
+                dropped = jnp.maximum(dropped, lay.n_dropped)
+                oob = jnp.maximum(oob, lay.n_oob)
+                d2, aux, d2e, auxe = deriv(lay, lay.T, n, lay.E)
+                lay = lay._replace(
+                    T=jax.tree.map(halfdiff, lay.T, d1, d2),
+                    E=jax.tree.map(halfdiff, lay.E, d1e, d2e),
+                    Tov=Float3(x=(d1.x + d2.x) * 0.5,
+                               y=(d1.y + d2.y) * 0.5,
+                               z=(d1.z + d2.z) * 0.5),
+                    Eov=Float3(x=(d1e.x + d2e.x) * 0.5,
+                               y=(d1e.y + d2e.y) * 0.5,
+                               z=(d1e.z + d2e.z) * 0.5))
+                auxe_c = fold_aux(auxe_c, auxe, aux1e)
+            else:
+                d1, aux1 = deriv(lay, lay.T, n)
+                lay = lay._replace(
+                    T=jax.tree.map(lambda a, b: a + b * dt, lay.T, d1))
+                lay, un2, d1 = reb(lay, d1)
+                unre = jnp.maximum(unre, un2)
+                dropped = jnp.maximum(dropped, lay.n_dropped)
+                oob = jnp.maximum(oob, lay.n_oob)
+                d2, aux = deriv(lay, lay.T, n)
+                lay = lay._replace(
+                    T=jax.tree.map(halfdiff, lay.T, d1, d2),
+                    Tov=Float3(x=(d1.x + d2.x) * 0.5,
+                               y=(d1.y + d2.y) * 0.5,
+                               z=(d1.z + d2.z) * 0.5))
+            # pass-1 flags fold in as their global max (orders differ by
+            # the movers; per-cell attribution is best-effort for flags)
+            aux_c = fold_aux(aux_c, aux, aux1)
+            bad = bad | nonfinite(lay.T)
+            if extras_cap:
+                bad = bad | nonfinite(lay.E)
+            return (lay, aux_c, auxe_c, dropped, oob, bad, unre), None
+
+        carry0 = (lay0, zeros_of(aux_shape), zeros_of(auxe_shape),
+                  lay0.n_dropped, lay0.n_oob, jnp.bool_(False), zero)
+        (lay, aux_c, auxe_c, dropped, oob, bad, unre), _ = jax.lax.scan(
+            step_pass, carry0, None, length=n_steps)
+        X, old_v = lattice_unbuild(lay, X, old_v)
+        aux = to_stable(lay, aux_c)
+        if extras_cap:
+            blk = auxe_c.pop("__err_extras_block")
+            for k in aux:
+                if k in auxe_c:
+                    aux[k] = aux[k].at[lay.epid].set(auxe_c[k],
+                                                     mode="drop")
+            aux["__err_extras_block"] = blk
+        aux["__err_lattice_dropped"] = dropped
+        aux["__err_out_of_grid"] = oob
+        aux["__err_non_finite"] = bad
+        aux["__err_rebin_overflow"] = unre
+        return X, old_v, aux
+
     if rebin_m_cap and rebuild_every >= 1:
         lay0 = lattice_build(X, old_v, n, cube_size, gs, C, extras_cap,
                              pallas_pour=pallas)
