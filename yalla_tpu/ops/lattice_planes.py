@@ -22,10 +22,14 @@ and slot pairing becomes a (pr_i, pr_j, dh) row/rotation choice:
 * the dcube-validity arithmetic (q, dcube, window folds) reduces to one
   cube-edge mask per dcube, hoisted out of the pair loop.
 
-Measured consequence (BASELINE.md): ~1.3-1.5x over the flat kernel at
-the 500k bench shapes.  Requirements: ``128 % gx == 0`` and
-``C % (128 // gx) == 0`` -- the planner biases toward them; the flat
-kernel remains the fallback for other shapes
+Measured reality (benchmarks/diag_planes_pass.py, 500k bench shapes):
+despite the ~25% lane-eval saving the kernel BODY runs ~68 ms/pass vs
+the flat kernel's ~45 -- the (variant, pj) loop nest pays more in
+dynamic-indexed j-slices and R-deep accumulator carries than the lane
+saving returns -- so dispatch is gated behind ``pre_planed`` (state
+kept in planes order by the caller; ``lattice_xla.PLANES_CHUNKS``)
+while the race is open.  Requirements: ``128 % gx == 0`` and
+``C % (128 // gx) == 0``; the flat kernel serves all other shapes
 (``lattice_pallas.lattice_pairwise_pallas`` dispatches here).
 
 Everything else -- channel liveness pruning, diagonal hoisting, the
