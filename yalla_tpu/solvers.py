@@ -23,6 +23,7 @@ passes -- symmetric and closer to the documented intent.
 """
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 from functools import lru_cache, partial
 from typing import Any, Callable, NamedTuple
@@ -612,7 +613,20 @@ class Solution:
             gen = _as_generic(gen_forces)
             gen_args = gen.args if gen is not None else None
             gen_static = gen._replace(args=None) if gen is not None else None
-            k = e.rebuild_every if int(n_steps) % e.rebuild_every == 0 else 1
+            if int(n_steps) % e.rebuild_every == 0:
+                k = e.rebuild_every
+            else:
+                # largest divisor of n_steps not above the configured
+                # cadence: closest honest approximation (the lattice loop
+                # needs n_steps % k == 0).  Silently falling to k=1 would
+                # time/behave as per-pass rebuilds while the engine says
+                # otherwise.
+                k = max(d for d in range(1, e.rebuild_every + 1)
+                        if int(n_steps) % d == 0)
+                warnings.warn(
+                    f"take_steps(n_steps={int(n_steps)}) is not a multiple "
+                    f"of rebuild_every={e.rebuild_every}; rebuilding every "
+                    f"{k} steps for this call", stacklevel=2)
             rmax = jnp.float32(e.force_r_max) \
                 if e.force_r_max is not None else None
             self.d_X, self.d_old_v, self.aux = lattice_heun_steps(
