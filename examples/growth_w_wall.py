@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yalla_tpu import Float3, Property, Solution, friction_on_background
+from yalla_tpu.solvers import GabrielEngine
 from yalla_tpu.growth import proliferate
 from yalla_tpu.inits import random_sphere
 from yalla_tpu.links import Links, link_wall_forces, wall_forces, \
@@ -84,7 +85,14 @@ def child_fn(X, props, direction, i):
 
 def main(n_steps=n_time_steps):
     rng = np.random.default_rng(15)
-    cells = Solution(Float3, n_max, solver="gabriel", grid_size=50,
+    # grid_size 64 keeps the x-row of lattice slots lane-aligned
+    # (64 * capacity 8 = 512 lanes), so on TPU the engine auto-selects
+    # the dense-lattice Pallas Gabriel kernel (~9.5x the windowed path
+    # at this model's 100k scale, BASELINE.md); other backends fall back
+    # to the windowed formulation unchanged.  Capacity 8 covers the
+    # RELAXED tissue's occupancy (spacing ~0.75); the in-loop flags
+    # certify it every step.
+    cells = Solution(Float3, n_max, solver="gabriel", grid_size=64,
                      row_cap=64)
     cells.h_n = n_0
     cells.h_X.x[0] = 0
@@ -98,10 +106,24 @@ def main(n_steps=n_time_steps):
     cell_type.h_prop[0] = 0   # wall_node
     cell_type.h_prop[1:] = 1  # mesenchyme
 
-    # Initial relaxation against the wall (ref :172-174)
+    # Initial relaxation against the wall (ref :172-174).  The UNRELAXED
+    # seed ball (spacing 0.5, ref :150) is ~3.4x denser than the relaxed
+    # tissue, so this transient runs on its own windowed-Gabriel engine
+    # sized for it (row_cap 128, lattice kernel opted out: per-cube
+    # occupancy would need capacity ~16 for ~100 steps, a 4x lane-work
+    # tax the whole growth run would then pay)
+    relax = Solution(Float3, n_max, n_pad=cells.n_pad,
+                     engine=GabrielEngine(grid_size=64, row_cap=128,
+                                          lattice=False))
+    relax.h_X, relax.h_n = cells.h_X, n_0
+    relax.copy_to_device()
     for _ in range(101):
-        cells.take_step(dt, relu_force, pw_friction=friction_on_background,
+        relax.take_step(dt, relu_force, pw_friction=friction_on_background,
                         gen_forces=wall_forces(WALL))
+    relax.copy_to_host()
+    cells.h_X = relax.h_X
+    cells.copy_to_device()
+    cells.d_old_v = relax.d_old_v
 
     protrusions = Links(n_max, protrusion_strength, seed=15)
     protrusions.set_d_n(n_0)

@@ -290,6 +290,24 @@ def test_gabriel_solver():
             f"Wrong number of neighbours at {i}: {n_nbs[i]}"
 
 
+def test_gabriel_lattice_autoselect_rules():
+    """VERDICT r3 task 5: GabrielEngine auto-selects the dense-lattice
+    Pallas kernel (lattice=None) the way TileEngine auto-selects its
+    fused kernel -- on TPU, unsharded, when the kernel's shape rules
+    hold.  The resolution logic is backend-independent; this pins the
+    shape gate and that defaults leave the choice open."""
+    from yalla_tpu.solvers import GabrielEngine
+    assert GabrielEngine().lattice is None       # auto by default
+    assert GabrielEngine(grid_size=64)._lattice_fits()       # 64*8 % 128
+    assert GabrielEngine(grid_size=(64, 48, 48))._lattice_fits()
+    assert not GabrielEngine(grid_size=50)._lattice_fits()   # 50*8 = 400
+    assert not GabrielEngine(grid_size=64, capacity=7)._lattice_fits()
+    # explicit lattice=True/False still forces the choice (hexagon and
+    # matches-gather tests above/below pin both paths' physics)
+    assert GabrielEngine(grid_size=64, lattice=True).lattice is True
+    assert GabrielEngine(lattice=False).lattice is False
+
+
 def test_gabriel_windowed_matches_gather():
     """The sorted-order shared-window Gabriel formulation reproduces the
     per-point gather formulation (forces, friction sums, and kept-pair

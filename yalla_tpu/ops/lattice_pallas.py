@@ -423,15 +423,48 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
     # contributions to live neighbours ride A_j regardless)
     act = occ.reshape(nz, zb, ny, yb * W).any(axis=(1, 3))
     act = act.reshape(-1).astype(jnp.int32)
+    n_blocks = nz * ny
+    # next-active-block table for DMA double buffering: nxtp[0] is the
+    # FIRST active block; nxtp[b + 1] the next active block strictly
+    # after b (n_blocks = none).  Each active block prefetches its
+    # successor's i/j windows into the other buffer while it computes,
+    # so the per-block HBM fetch waits (~5-15 us x ~n_blocks/pass,
+    # ROADMAP round-3 item 2) overlap the offset loop instead of
+    # serializing with it.
+    idxs = jnp.arange(n_blocks, dtype=jnp.int32)
+    nxt_ge = jax.lax.cummin(jnp.where(act > 0, idxs, n_blocks),
+                            reverse=True)      # next active >= b
+    nxtp = jnp.concatenate([nxt_ge[:1], nxt_ge[1:],
+                            jnp.full((1,), n_blocks, jnp.int32)])
 
-    def kernel(scal_ref, act_ref, *refs):
+    def kernel(scal_ref, act_ref, nxtp_ref, *refs):
         if has_extras:
             (et_sref, Ai_hbm, Aj_hbm, out_ref, out2_ref,
-             xi_ref, rj_ref, rr_ref, sems) = refs
+             xi_ref, rj_ref, rr_ref, cnt_ref, sems) = refs
         else:
-            Ai_hbm, Aj_hbm, out_ref, xi_ref, rj_ref, rr_ref, sems = refs
+            (Ai_hbm, Aj_hbm, out_ref, xi_ref, rj_ref, rr_ref,
+             cnt_ref, sems) = refs
         zi = pl.program_id(0)
         yi = pl.program_id(1)
+
+        def start_dma(blk, slot):
+            z0 = (blk // ny) * zb
+            y0 = (blk % ny) * yb
+            pltpu.make_async_copy(
+                Ai_hbm.at[:, pl.ds(z0, zb), pl.ds(y0, yb)],
+                xi_ref.at[slot], sems.at[slot, 0]).start()
+            pltpu.make_async_copy(
+                Aj_hbm.at[:, pl.ds(z0, zb + 2), pl.ds(y0, yb + 16)],
+                rj_ref.at[slot], sems.at[slot, 1]).start()
+
+        @pl.when((zi == 0) & (yi == 0))
+        def _first_grid_step():
+            cnt_ref[0] = 0
+
+            @pl.when(nxtp_ref[0] < n_blocks)
+            def _():
+                start_dma(nxtp_ref[0], 0)
+
         out_ref[...] = jnp.zeros((M,) + shape, jnp.float32)
         if has_extras:
             out2_ref[...] = jnp.zeros((E_b, 128), jnp.float32)
@@ -439,20 +472,26 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
         @pl.when(act_ref[zi * ny + yi] > 0)
         def _active_block():
             csize = scal_ref[0]
-            cp_i = pltpu.make_async_copy(
+            slot = jax.lax.rem(cnt_ref[0], 2)
+            cnt_ref[0] = cnt_ref[0] + 1
+            nb = nxtp_ref[zi * ny + yi + 1]
+
+            @pl.when(nb < n_blocks)
+            def _prefetch_next():
+                start_dma(nb, 1 - slot)
+
+            # wait for THIS block's windows (started by the previous
+            # active block, or by the first-grid-step warmup)
+            pltpu.make_async_copy(
                 Ai_hbm.at[:, pl.ds(zi * zb, zb), pl.ds(yi * yb, yb)],
-                xi_ref, sems.at[0])
-            cp_j = pltpu.make_async_copy(
+                xi_ref.at[slot], sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(
                 Aj_hbm.at[:, pl.ds(zi * zb, zb + 2),
                           pl.ds(yi * yb, yb + 16)],
-                rj_ref, sems.at[1])
-            cp_i.start()
-            cp_j.start()
-            cp_i.wait()
-            cp_j.wait()
+                rj_ref.at[slot], sems.at[slot, 1]).wait()
 
             zero = jnp.zeros(shape, jnp.float32)
-            Xi_leaves = [xi_ref[xi_fields.index(k)] if xi_need[k]
+            Xi_leaves = [xi_ref[slot, xi_fields.index(k)] if xi_need[k]
                          else zero for k in range(nf)]
             Xi = unflatten_pt(Xi_leaves)
             xi_leaf = Xi_leaves.__getitem__
@@ -496,7 +535,7 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
             if any(live_diag):
                 r0 = unflatten_pt([zero] * nf)
                 outs = call_force(pw_int, r0, zero, i_ids)
-                ov_i = ([xi_ref[XI_OV + c] for c in range(3)]
+                ov_i = ([xi_ref[slot, XI_OV + c] for c in range(3)]
                         if fr_diag else (zero, zero, zero))
                 accumulate(outs, None, ov_i)
 
@@ -510,7 +549,7 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
             # across the <= 4 blocks an extra is tabled in.
             if has_extras:
                 def jcen(c):
-                    return rj_ref[c, 1:1 + zb, 8:8 + yb]
+                    return rj_ref[slot, c, 1:1 + zb, 8:8 + yb]
 
                 lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
                 K_t = len(t_fields) + (3 if have_fr else 0)
@@ -577,7 +616,7 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
             # yb + 16 rows, and rolling its 14 dead alignment rows 4C - 1
             # times per block cost ~25% of the total roll issue slots
             rr_ref[...] = pltpu.roll(
-                rj_ref[:, :, 7:7 + yb + 2], 2 * C - 1, axis=3)
+                rj_ref[slot, :, :, 7:7 + yb + 2], 2 * C - 1, axis=3)
 
             def body(t, _):
                 s = t - (2 * C - 1)
@@ -626,10 +665,11 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                               lambda zi, yi, *_: (0, zi, yi, 0),
                               memory_space=pltpu.VMEM)]
     out_shapes = [jax.ShapeDtypeStruct((M, gz, gy, W), jnp.float32)]
-    scratch = [pltpu.VMEM((K_i, zb, yb, W), jnp.float32),
-               pltpu.VMEM((K_j, zb + 2, yb + 16, W), jnp.float32),
-               pltpu.VMEM((K_j, zb + 2, yb + 2, W), jnp.float32)]
-    prefetch = [jnp.asarray([cube_size], jnp.float32), act]
+    scratch = [pltpu.VMEM((2, K_i, zb, yb, W), jnp.float32),
+               pltpu.VMEM((2, K_j, zb + 2, yb + 16, W), jnp.float32),
+               pltpu.VMEM((K_j, zb + 2, yb + 2, W), jnp.float32),
+               pltpu.SMEM((1,), jnp.int32)]
+    prefetch = [jnp.asarray([cube_size], jnp.float32), act, nxtp]
     if has_extras:
         # the extras channel table rides SMEM as a third prefetch scalar
         # array (see _extras_tables)
@@ -639,7 +679,7 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
             memory_space=pltpu.VMEM))
         out_shapes.append(
             jax.ShapeDtypeStruct((nz * ny, E_b, 128), jnp.float32))
-    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
 
     out = pl.pallas_call(
         kernel,

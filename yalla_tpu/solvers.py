@@ -220,20 +220,39 @@ class GabrielEngine:
     # (64, 16) is the fastest flag-clean pair at the reference's 100k
     # growth_w_wall density (benchmarks/diag_gabriel.py sweep).
     subgroup: int | None = 16
-    # lattice=True runs the dense-lattice Pallas kernel
+    # lattice runs the dense-lattice Pallas kernel
     # (ops/gabriel_pallas.py): in-VMEM candidate compaction instead of
-    # the windowed path's HBM gathers -- the 100k-scale perf path.
+    # the windowed path's HBM gathers -- the 100k-scale perf path
+    # (~95 ms/step vs the windowed path's ~898 at the reference's 100k
+    # growth_w_wall config, BASELINE.md).  ``None`` (default)
+    # auto-selects it on the TPU backend whenever the kernel's shape
+    # rules hold (grid_size * capacity lane-aligned, unsharded), the
+    # same way TileEngine auto-selects its fused kernel; the in-loop
+    # ``__err_lattice_dropped`` flag still certifies the capacity.
     # capacity is the lattice's per-cube slot count (max occupancy + 1);
     # max_candidates should then bound the measured within-cutoff count
     # (~16 at growth_w_wall density), not the reference's 100.
-    lattice: bool = False
+    lattice: bool | None = None
     capacity: int = 8
     z_block: int = 2
     y_block: int = 8
 
+    def _lattice_fits(self):
+        """Kernel shape rules (ops/gabriel_pallas.py): x-row of slots is
+        lane-aligned, y extent blocks into 8s, z extent into z_block."""
+        from .ops.common import grid_dims
+        gx, gy, gz = grid_dims(self.grid_size)
+        return ((gx * self.capacity) % 128 == 0 and gy % 8 == 0
+                and gz % self.z_block == 0)
+
     def pairwise(self, pw_int, pw_friction, X, old_v, n, cube_size,
                  i_offset=0, i_size=None):
-        if self.lattice and i_offset == 0 and i_size is None:
+        whole = (i_size is None and isinstance(i_offset, int)
+                 and i_offset == 0)
+        use_lattice = self.lattice if self.lattice is not None else (
+            jax.default_backend() == "tpu" and whole
+            and self._lattice_fits())
+        if use_lattice and whole:
             from .ops.gabriel_pallas import gabriel_lattice_pallas
             return gabriel_lattice_pallas(
                 pw_int, pw_friction, X, old_v, n, cube_size,
