@@ -37,6 +37,10 @@ substeps = 11
 
 
 def main():
+    import time
+    t_start = time.perf_counter()
+    n_resizes = 0
+    cell_steps = 0
     p = B.Params()
     state, cells, engine = B.init_state(n_0, n_max, p, seed=42)
     frame = B.make_frame(p, engine, substeps=substeps)
@@ -59,6 +63,7 @@ def main():
             output.write_property(ctype)
             output.write_property(clone)
             prev = state
+            cell_steps += substeps * int(state.n)
             state, errs = frame(state, jnp.float32(t / max(n_frames, 1)))
             if any(float(v) for k, v in errs.items()
                    if k != "__err_cells_lost"):
@@ -66,12 +71,18 @@ def main():
                 # cube capacity): resize from the live extent, recompile
                 # the frame, and redo this frame from the saved state
                 engine = B.engine_for_state(prev, n_max, p)
+                n_resizes += 1
                 print(f"\nframe {t}: resizing engine -> {engine}")
                 frame = B.make_frame(p, engine, substeps=substeps)
                 state, errs = frame(prev, jnp.float32(t / max(n_frames, 1)))
                 assert not any(
                     float(v) for k, v in errs.items()
                     if k != "__err_cells_lost"), f"still failing: {errs}"
+    wall = time.perf_counter() - t_start
+    print(f"\n# branching flagship: {n_frames} frames x {substeps} substeps"
+          f" in {wall:.1f} s ({n_frames / wall:.2f} frames/s,"
+          f" ~{cell_steps / wall:.3g} cell-steps/s incl. I/O),"
+          f" final n = {int(state.n)}, engine resizes = {n_resizes}")
 
     # Lineage tree output (ref branching.cu:283-339)
     lin = state.lineage
