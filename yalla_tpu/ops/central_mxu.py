@@ -9,29 +9,31 @@ coefficient times the pair separation,
     dF_xyz = w(dist, scalars_i, scalars_j) * r        (r = Xi - Xj)
 
 (e.g. the differential-adhesion potentials, ref examples/sorting.cu:16-28,
-inits.cuh:78-93 relu_force).  For those the N^2 pass factors into matrix
-algebra that the MXU does nearly for free:
+inits.cuh:78-93 relu_force).  For those the heavy *reductions* of the N^2
+pass factor into thin matrix algebra the MXU does nearly for free:
 
-* pair distances:   dist^2 = |xi|^2 + |xj|^2 - 2 xi.xj   -- the cross term
-  is ``X @ X.T``, one (BI, 8) x (8, n_pad) matmul per i-block;
 * force reduction:  F_i = Sum_j w_ij (xi - xj)
-                        = xi * rowsum(w) - w @ X        -- ``w @ [X | 1]``;
-* friction mixing:  sum_f = rowsum(f),  sum_v = f @ old_v  (solvers.cuh:146-161)
-                    -- ``f @ [old_v | 1]``;
-* bilinear pair channels (type-pair strength tables, polarity dot
-  products): ``ch_ij = a(Xi) . b(Xj)`` -- one (BI, K) x (K, n_pad) matmul.
+                        = xi * rowsum(w) - w^T-reduced  -- one
+  ``[X | 1]^T (8, n_pad) @ w^T (n_pad, BI)`` matmul per i-block (M = 8
+  streams through the systolic array in 8 rows; the untransposed
+  ``w @ [X | 1]`` form would pad its N = 8 up to the 128-lane tile and
+  cost 16x the MXU cycles);
+* friction mixing:  sum_f / sum_v (solvers.cuh:146-161) -- the same
+  ``[old_v | 1]^T @ f^T`` matmul shape.
 
-Only the radial coefficient itself (a handful of ops) remains on the VPU,
-so the per-pair instruction count drops from ~40 to ~15 -- this is the
-small-N latency path that meets the 5k-cell BASELINE metric.
+Everything per-pair stays on the VPU in the same transposed ``(n_pad,
+BI)`` orientation: the distance is an exact-f32 broadcast subtract (~8
+ops -- cheaper than an MXU cross-term at f32 precision, and with no
+|x|^2 cancellation to re-centre away), and bilinear pair channels
+(type-pair strength tables) are rank-k broadcast products,
+``ch_ij = sum_k a_k(Xi) b_k(Xj)`` at 2k ops.  The per-pair instruction
+count is ~20 and the reductions are free -- this is the small-N latency
+path that meets the 5k-cell BASELINE metric.
 
-Numerical note: the matmul form of dist^2 cancels |x|^2-sized terms, so
-positions are re-centred on the active population's mean before the
-kernel (coordinates ~ tissue extent instead of absolute position); with
-``precision=HIGHEST`` the dist error is ~1e-5 * extent^2, far inside the
-reference's own tolerance philosophy (minunit.cuh:37).  Exact trajectory
-agreement with the generic engines is therefore *statistical*, like
-CUDA-vs-TPU agreement itself; tests/test_central.py quantifies it.
+Numerical note: distances are exact f32 (identical to the generic
+engines); only the force/friction *sums* differ from the handwritten
+functor path by f32 matmul summation order (HIGHEST precision).
+tests/test_central.py quantifies the agreement.
 
 Declaring a central force -- ``central_force()`` returns a callable
 satisfying the standard pairwise contract (usable by EVERY engine:
@@ -140,11 +142,11 @@ def central_force(Pt, coef, *, fields=(), bilinear=None, aux=None,
     return _CentralForce(Pt, coef, fields, bilinear, aux, diag, name)
 
 
-def _pad_cols(cols, n_pad, k8):
-    """Stack per-cell columns into an (n_pad, k8) matrix."""
-    out = jnp.zeros((n_pad, k8), jnp.float32)
-    for c, v in enumerate(cols):
-        out = out.at[:, c].set(jnp.broadcast_to(v, (n_pad,)))
+def _pad_rows(rows, n_pad, k8):
+    """Stack per-cell columns into a (k8, n_pad) row matrix."""
+    out = jnp.zeros((k8, n_pad), jnp.float32)
+    for r, v in enumerate(rows):
+        out = out.at[r, :].set(jnp.broadcast_to(v, (n_pad,)))
     return out
 
 
@@ -155,6 +157,18 @@ def central_pairwise_mxu(cf, pw_friction, X, old_v, n, *, block=128):
     sum_v 3-tuple, aux dict), all ``[n_pad]``.  ``pw_friction`` must
     carry a ``central_coef(dist, Si, Sj)`` attribute (the built-in
     frictions do, ops/common.py).
+
+    Orientation note (round-4 rewrite): the pair matrix is computed
+    TRANSPOSED -- ``(n_pad, BI)``, j on sublanes, the i block on lanes --
+    so the force/friction reductions are ``(8, n_pad) @ (n_pad, BI)``
+    matmuls: M = 8 streams through the MXU in 8 rows instead of padding
+    an N = 8 output up to the 128-lane tile (a 16x MXU-cycle saving that
+    lets them run at HIGHEST precision for free).  Pair distances moved
+    OFF the MXU entirely: the broadcast subtract is ~8 VPU ops and, being
+    exact f32, needs no re-centring and no |x|^2 cancellation care (the
+    round-3 kernel's matmul cross-term did).  Bilinear channels are
+    evaluated as rank-k broadcast products (2k VPU ops) instead of
+    K = 8-padded matmuls.
     """
     fr_coef = pw_friction.central_coef
     leaves = {f: getattr(X, f) for f in X._fields}
@@ -164,127 +178,115 @@ def central_pairwise_mxu(cf, pw_friction, X, old_v, n, *, block=128):
     nblk = n_pad // BI
 
     active = jnp.arange(n_pad, dtype=jnp.int32) < n
-    inv_n = 1.0 / jnp.maximum(n.astype(jnp.float32), 1.0)
-    cx = jnp.sum(jnp.where(active, leaves["x"], 0.0)) * inv_n
-    cy = jnp.sum(jnp.where(active, leaves["y"], 0.0)) * inv_n
-    cz = jnp.sum(jnp.where(active, leaves["z"], 0.0)) * inv_n
-    # re-centred coordinates; padding rows sit at the sentinel so every
-    # pair against them is past any cutoff (no per-pair validity mask)
-    xc = jnp.where(active, leaves["x"] - cx, CENTRAL_SENTINEL)
-    yc = jnp.where(active, leaves["y"] - cy, CENTRAL_SENTINEL)
-    zc = jnp.where(active, leaves["z"] - cz, CENTRAL_SENTINEL)
+    # padding rows/lanes sit at the sentinel so every pair against them is
+    # past any cutoff; pad-vs-pad pairs (dist 0) only contaminate pad
+    # outputs, which the integrator's occupancy masking discards
+    xc = jnp.where(active, leaves["x"], CENTRAL_SENTINEL)
+    yc = jnp.where(active, leaves["y"], CENTRAL_SENTINEL)
+    zc = jnp.where(active, leaves["z"], CENTRAL_SENTINEL)
 
-    sq = xc * xc + yc * yc + zc * zc                   # [n_pad]
-    Pd = _pad_cols([xc, yc, zc], n_pad, 8)             # d^2 cross operand
-    PdT = Pd.T                                          # [8, n_pad]
     ones = jnp.ones((n_pad,), jnp.float32)
-    Pw = _pad_cols([xc, yc, zc, ones], n_pad, 8)       # w @ [X | 1]
-    Ov = _pad_cols([old_v.x, old_v.y, old_v.z, ones], n_pad, 8)
+    PwT = _pad_rows([xc, yc, zc, ones], n_pad, 8)      # [Xj | 1] reduction
+    OvT = _pad_rows([old_v.x, old_v.y, old_v.z, ones], n_pad, 8)
 
     n_f = len(cf.fields)
-    k_f = max(8, -(-n_f // 8) * 8)
-    S = _pad_cols([leaves[f] for f in cf.fields], n_pad, k_f)
-    ST = S.T
     bil_names = list(cf.bilinear.keys())
-    As, BTs, kbs = [], [], []
-    for name in bil_names:
-        fa, fb = cf.bilinear[name]
-        a, b = fa(X), fb(X)
+    bil_ab = [(fa(X), fb(X)) for fa, fb in
+              (cf.bilinear[name] for name in bil_names)]
+    for name, (a, b) in zip(bil_names, bil_ab):
         assert len(a) == len(b), f"bilinear '{name}' side arity mismatch"
-        kb = max(8, -(-len(a) // 8) * 8)
-        As.append(_pad_cols(list(a), n_pad, kb))
-        BTs.append(_pad_cols(list(b), n_pad, kb).T)
-        kbs.append(kb)
+    arities = [len(a) for a, _ in bil_ab]
+    # i-side rows: coords, scalar fields, bilinear a_k; j-side columns:
+    # coords, scalar fields, bilinear b_k
+    i_rows = [xc, yc, zc] + [leaves[f] for f in cf.fields] \
+        + [jnp.broadcast_to(v, (n_pad,)) for a, _ in bil_ab for v in a]
+    j_cols = [xc, yc, zc] + [leaves[f] for f in cf.fields] \
+        + [jnp.broadcast_to(v, (n_pad,)) for _, b in bil_ab for v in b]
+    KI = max(8, -(-len(i_rows) // 8) * 8)
+    Ri = _pad_rows(i_rows, n_pad, KI)                   # [KI, n_pad]
+    Cj = _pad_rows(j_cols, n_pad, KI).T                 # [n_pad, KI]
 
     aux_keys = list(cf.aux.keys())
     n_out = 7 + len(aux_keys)        # Fx Fy Fz sum_f svx svy svz aux..
-    assert n_out <= 128, "too many aux channels for one output row"
+    NO = max(8, -(-n_out // 8) * 8)
+    assert n_out <= 128, "too many aux channels for one output block"
     HI = jax.lax.Precision.HIGHEST
 
-    def kernel(*refs):
-        (pdb_ref, sqi_ref, pwb_ref, sb_ref, pdt_ref, sqj_ref, pw_ref,
-         ov_ref, st_ref) = refs[:9]
-        bil_a = refs[9:9 + len(bil_names)]
-        bil_bt = refs[9 + len(bil_names):9 + 2 * len(bil_names)]
-        out_ref = refs[-1]
+    def kernel(ri_ref, cj_ref, pwt_ref, ovt_ref, out_ref):
         bi = pl.program_id(0)
 
-        cross = jax.lax.dot_general(
-            pdb_ref[...], pdt_ref[...], (((1,), (0,)), ((), ())),
-            precision=HI, preferred_element_type=jnp.float32)
-        d2 = (sqi_ref[...] - 2.0 * cross) + sqj_ref[...]
+        def irow(k):                  # (1, BI) broadcast row of side i
+            return ri_ref[k:k + 1, :]
+
+        def jcol(k):                  # (n_pad, 1) broadcast column of side j
+            return cj_ref[:, k:k + 1]
+
+        dx = irow(0) - jcol(0)
+        dy = irow(1) - jcol(1)
+        dz = irow(2) - jcol(2)
+        d2 = dx * dx + dy * dy + dz * dz               # exact f32, no MXU
         rs = jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
         dist = d2 * rs
-        row = (jax.lax.broadcasted_iota(jnp.int32, (BI, 1), 0) + bi * BI)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
-        dist = jnp.where(row == col, CENTRAL_SENTINEL, dist)
+        rowj = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+        coli = (jax.lax.broadcasted_iota(jnp.int32, (1, BI), 1) + bi * BI)
+        dist = jnp.where(rowj == coli, CENTRAL_SENTINEL, dist)
 
-        Si = {f: sb_ref[:, k:k + 1] for k, f in enumerate(cf.fields)}
-        Sj = {f: st_ref[k:k + 1, :] for k, f in enumerate(cf.fields)}
-        ch = {name: jax.lax.dot_general(
-            a_ref[...], bt_ref[...], (((1,), (0,)), ((), ())),
-            precision=HI, preferred_element_type=jnp.float32)
-            for name, a_ref, bt_ref in zip(bil_names, bil_a, bil_bt)}
+        Si = {f: irow(3 + k) for k, f in enumerate(cf.fields)}
+        Sj = {f: jcol(3 + k) for k, f in enumerate(cf.fields)}
+        ch, base = {}, 3 + n_f
+        for name, kb in zip(bil_names, arities):
+            ch[name] = sum(irow(base + k) * jcol(base + k)
+                           for k in range(kb))
+            base += kb
 
-        w = jnp.broadcast_to(cf.coef(dist, Si, Sj, **ch), (BI, n_pad))
-        f = jnp.broadcast_to(fr_coef(dist, Si, Sj), (BI, n_pad))
-        Fw = jax.lax.dot_general(
-            w, pw_ref[...], (((1,), (0,)), ((), ())),
+        w = jnp.broadcast_to(cf.coef(dist, Si, Sj, **ch), (n_pad, BI))
+        f = jnp.broadcast_to(fr_coef(dist, Si, Sj), (n_pad, BI))
+        FwT = jax.lax.dot_general(
+            pwt_ref[...], w, (((1,), (0,)), ((), ())),
+            precision=HI, preferred_element_type=jnp.float32)  # (8, BI)
+        FvT = jax.lax.dot_general(
+            ovt_ref[...], f, (((1,), (0,)), ((), ())),
             precision=HI, preferred_element_type=jnp.float32)
-        Fv = jax.lax.dot_general(
-            f, ov_ref[...], (((1,), (0,)), ((), ())),
-            precision=HI, preferred_element_type=jnp.float32)
-        cols = [pwb_ref[:, 0:1] * Fw[:, 3:4] - Fw[:, 0:1],
-                pwb_ref[:, 1:2] * Fw[:, 3:4] - Fw[:, 1:2],
-                pwb_ref[:, 2:3] * Fw[:, 3:4] - Fw[:, 2:3],
-                Fv[:, 3:4], Fv[:, 0:1], Fv[:, 1:2], Fv[:, 2:3]]
+        rows = [irow(0) * FwT[3:4, :] - FwT[0:1, :],
+                irow(1) * FwT[3:4, :] - FwT[1:2, :],
+                irow(2) * FwT[3:4, :] - FwT[2:3, :],
+                FvT[3:4, :], FvT[0:1, :], FvT[1:2, :], FvT[2:3, :]]
         for k in aux_keys:
             g = jnp.broadcast_to(cf.aux[k](dist, Si, Sj, **ch),
-                                 (BI, n_pad))
-            cols.append(jnp.sum(g, axis=1, keepdims=True))
-        lane = jax.lax.broadcasted_iota(jnp.int32, (BI, 128), 1)
-        acc = jnp.zeros((BI, 128), jnp.float32)
-        for c, v in enumerate(cols):
-            acc = acc + jnp.where(lane == c, v, 0.0)
+                                 (n_pad, BI))
+            rows.append(jnp.sum(g, axis=0, keepdims=True))
+        acc = jnp.zeros((NO, BI), jnp.float32)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (NO, 1), 0)
+        for r, v in enumerate(rows):
+            acc = acc + jnp.where(srow == r, v, 0.0)
         out_ref[...] = acc
 
-    blk = lambda k: pl.BlockSpec((BI, k), lambda bi: (bi, 0),
+    blk = lambda r: pl.BlockSpec((r, BI), lambda bi: (0, bi),
                                  memory_space=pltpu.VMEM)
     full = lambda r, c: pl.BlockSpec((r, c), lambda bi: (0, 0),
                                      memory_space=pltpu.VMEM)
-    in_specs = [blk(8), blk(1), blk(8), blk(k_f),
-                full(8, n_pad), full(1, n_pad), full(n_pad, 8),
-                full(n_pad, 8), full(k_f, n_pad)]
-    args = [Pd, sq[:, None], Pw, S, PdT, sq[None, :], Pw, Ov, ST]
-    for A, BT, kb in zip(As, BTs, kbs):
-        in_specs.append(blk(kb))
-        args.append(A)
-    for A, BT, kb in zip(As, BTs, kbs):
-        in_specs.append(full(kb, n_pad))
-        args.append(BT)
-
     out = pl.pallas_call(
         kernel,
         grid=(nblk,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((BI, 128), lambda bi: (bi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+        in_specs=[blk(KI), full(n_pad, KI), full(8, n_pad),
+                  full(8, n_pad)],
+        out_specs=blk(NO),
+        out_shape=jax.ShapeDtypeStruct((NO, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
-            flops=n_pad * n_pad * (16 + 2 * (16 + 8 * len(bil_names))),
+            flops=n_pad * n_pad * (24 + 2 * sum(arities)),
             transcendentals=n_pad * n_pad,
-            bytes_accessed=n_pad * (8 + k_f) * 8 + n_pad * 128 * 4),
+            bytes_accessed=n_pad * KI * 8 + n_pad * NO * 4),
         interpret=_interpret(),
-    )(*args)
+    )(Ri, Cj, PwT, OvT)
 
     zero = jnp.zeros((n_pad,), jnp.float32)
-    vals = {"x": out[:, 0], "y": out[:, 1], "z": out[:, 2]}
+    vals = {"x": out[0], "y": out[1], "z": out[2]}
     F = cf.Pt(**{f: vals.get(f, zero) for f in cf.Pt._fields})
-    sum_f = out[:, 3]
-    sum_v = (out[:, 4], out[:, 5], out[:, 6])
-    aux = {k: out[:, 7 + i] for i, k in enumerate(aux_keys)}
+    sum_f = out[3]
+    sum_v = (out[4], out[5], out[6])
+    aux = {k: out[7 + i] for i, k in enumerate(aux_keys)}
 
     # i == j diagonal (reaction terms + any friction self-term), exact,
     # n-sized: the kernel excludes the diagonal by distance poisoning
