@@ -239,7 +239,11 @@ def _plan_lattice(X, n_cells, r_max, ms, pallas, zb=2, yb=16, e_scale=1,
     return best
 
 
-def build(n_cells, seed=0):
+def _prepare_branching(n_cells, seed=0):
+    """Settled 500k-class branching state: IC, relu relaxation, full-force
+    settling to density convergence.  Shared by ``build`` and the kernel
+    ablation diagnostics (benchmarks/diag_ablate500k.py) so both time the
+    exact regime the bench certifies."""
     from yalla_tpu.models import branching as B
     from yalla_tpu.dtypes import Float3
     from yalla_tpu.ops.common import friction_w_neighbour
@@ -302,6 +306,15 @@ def build(n_cells, seed=0):
         if prev_e is not None and abs(n_e - prev_e) <= max(20, prev_e // 20):
             break
         prev_e = n_e
+    return X, old_v, p, force, n, pallas
+
+
+def build(n_cells, seed=0):
+    from yalla_tpu.ops.common import friction_w_neighbour
+    from yalla_tpu.ops.lattice_xla import lattice_heun_steps
+    from yalla_tpu.polarity import polarity_precompute
+
+    X, old_v, p, force, n, pallas = _prepare_branching(n_cells, seed)
 
     # joint (cube_size, gs, C, extras) choice: the engine cutoff may exceed
     # the force's r_max (forces gate themselves; extra candidates are
