@@ -758,6 +758,14 @@ def measure(n_cells, n_steps, seed=0, builder=None):
         base = run0.remake((1.0,))
         if base is not None and base.config != run0.config:
             probe_time_track(base, 1, rebin="pass")
+            if aux is not None:
+                # the resident cadence is dead anyway (stale flag), so
+                # rebuild-per-pass is the mode to beat -- race it at the
+                # margin-free plan too: cube 1.0 needs no staleness
+                # margin and its lower capacity cuts the pass lane-work
+                # ~(C0 (4 C0 - 1)) / (C1 (4 C1 - 1)) (round-4: C=8
+                # extras vs C=10 was the 500k winner)
+                probe_time_track(base, 1)
     if aux is not None:
         closure = float(aux.get("stale_shear_closure", np.nan))
         print(f"# flags at rebuild_every={rebuild0} "
