@@ -359,13 +359,17 @@ def build(n_cells, seed=0):
             # pass (reference-exact, no staleness certificate needed).
             m_cap = -(-n_cells * rebin_scale // 8 // 4096) * 4096 \
                 if rebin else 0
+            # resident cadence: route old_v-predicted fast movers into
+            # the per-pass-exact extras list (safety 2x) so the
+            # staleness certificate only has to bound the slow bulk
+            route = 2.0 if (k > 1 and not rebin and extras_cap) else 0.0
             return lattice_heun_steps(
                 n_steps, k, force, friction_w_neighbour, "com", gs, C, zb,
                 X, old_v, n, jnp.float32(p.dt),
                 jnp.float32(cube * cube_mult), jnp.int32(0),
                 polarity_precompute, pallas, None, None,
                 jnp.float32(p.r_max), extras_cap, max(e_b, 8), m_cap,
-                rebin == "pass")
+                rebin == "pass", route)
 
         run.config = {"gs": list(gs), "C": int(C),
                       "max_occ": int(max_occ), "cube": float(cube),

@@ -65,9 +65,6 @@ print(f"one-step |dX|: median={qs[0]:.4f} p99={qs[1]:.4f} "
 print(f"cells with 2|dX| > margin({margin:.2f}): "
       f"{int(np.sum(2 * d > margin))} "
       f"(> margin/2: {int(np.sum(4 * d > margin))})", flush=True)
-print(f"chunk-1 closure={float(aux1['stale_shear_closure']):.4f} "
-      f"stale={float(aux1['__err_stale'])} "
-      f"disp={float(aux1['stale_max_disp']):.4f}", flush=True)
 
 # (c) 4-step chunk at the bench cadence for the headline closure
 out4 = steps(4, p.dt, 4)

@@ -113,3 +113,73 @@ def test_extras_match_full_capacity_branching(rebuild):
                        np.asarray(getattr(Xb, f))[:n]), f
     for k in ("epi_nbs", "mes_nbs"):
         assert isclose(np.asarray(auxa[k])[:n], np.asarray(auxb[k])[:n]), k
+
+
+def test_build_route_mask_forces_extras():
+    """route_mask sends cells to extras even when their cube has room,
+    without disturbing unrouted cells' slots."""
+    Cell = make_pt("XC")
+    X, ov, n = _clumped_state(Cell, 96, 128)
+    route = jnp.zeros(128, bool).at[jnp.array([3, 40, 77])].set(True)
+    lay = lattice_build(X, ov, n, 1.0, 32, 8, extras_cap=64,
+                        route_mask=route)
+    assert int(lay.n_dropped) == 0
+    epid = np.asarray(lay.epid)
+    for i in (3, 40, 77):
+        assert i in epid, f"routed cell {i} not in extras"
+        assert int(lay.slot_of[i]) == lay.pid.shape[0], \
+            f"routed cell {i} still owns a lattice slot"
+    # partition still holds for every active cell
+    in_slot = np.asarray(lay.slot_of[:96]) < lay.pid.shape[0]
+    in_extras = np.isin(np.arange(96), epid)
+    assert np.all(in_slot | in_extras) and not np.any(in_slot & in_extras)
+
+
+def test_mover_routing_certifies_resident_cadence():
+    """A pair approaching through a 2-cube escape flags the resident
+    cadence (honest staleness) -- but with ``route_movers`` the fast
+    cells ride the per-pass-exact extras list and the certificate stays
+    clean, because extras-side pairs are re-tabled from instantaneous
+    positions every pass (no pair can be missed by THEIR motion)."""
+    from yalla_tpu.ops.common import friction_w_neighbour
+
+    def no_force(Xi, r, dist, i, j):
+        return jax.tree.map(lambda a: jnp.zeros_like(dist), Xi)
+
+    n_pad = 64
+    # same geometry as the diagonal-escape staleness test: two cell
+    # pairs binned (2, 0, 2) cubes apart at cube 1.1, diagonally
+    # approaching 0.0625/axis/step, buddies carrying the velocity
+    pos = np.zeros((n_pad, 3), np.float32)
+    pos[0] = [1.05, 0.0, 1.05]
+    pos[1] = [1.05, 0.5, 1.05]
+    pos[2] = [2.25, 0.0, 2.25]
+    pos[3] = [2.25, 0.5, 2.25]
+    v = np.zeros((n_pad, 3), np.float32)
+    v[:2] = [0.0625, 0.0, 0.0625]
+    v[2:4] = [-0.0625, 0.0, -0.0625]
+    X = Float3(x=jnp.asarray(pos[:, 0]), y=jnp.asarray(pos[:, 1]),
+               z=jnp.asarray(pos[:, 2]))
+    ov = Float3(x=jnp.asarray(v[:, 0]), y=jnp.asarray(v[:, 1]),
+                z=jnp.asarray(v[:, 2]))
+
+    def run(rebuild, route):
+        return lattice_heun_steps(
+            4, rebuild, no_force, friction_w_neighbour, "point", 16, 8, 4,
+            X, ov, jnp.int32(4), jnp.float32(1.0), jnp.float32(1.1),
+            jnp.int32(0), None, True, None, None, jnp.float32(1.0),
+            64, 16, 0, False, route)
+
+    _, _, aux0 = run(4, 0.0)
+    assert float(aux0["__err_stale"]) == 1.0, "escape must flag unrouted"
+    Xr, _, aux1 = run(4, 2.0)
+    assert float(aux1["__err_stale"]) == 0.0, (
+        f"routed movers still flagged "
+        f"(closure={float(aux1['stale_shear_closure'])})")
+    assert float(aux1["__err_lattice_dropped"]) == 0
+    assert float(aux1["__err_extras_block"]) == 0
+    # certified-clean resident chunk == the rebuild-per-pass oracle
+    Xo, _, _ = run(1, 0.0)
+    for f in ("x", "y", "z"):
+        assert isclose(np.asarray(getattr(Xr, f))[:4],
+                       np.asarray(getattr(Xo, f))[:4]), f

@@ -93,7 +93,7 @@ from .common import out_of_grid_mask as _oob_mask
 
 
 def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
-                  extras_cap=0, pallas_pour=False):
+                  extras_cap=0, pallas_pour=False, route_mask=None):
     """Sort by cube id and pour points into the dense lattice.
 
     Random-access-minimal construction (XLA:TPU gathers/scatters run at
@@ -107,7 +107,16 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
     ``extras_cap > 0`` diverts cells past a cube's capacity into the
     ``E``/``Eov``/``epid`` side list (in sorted order) instead of
     dropping them; only cells overflowing the side list too count as
-    ``n_dropped``."""
+    ``n_dropped``.
+
+    ``route_mask`` (bool[n_pad], requires ``extras_cap > 0``) FORCES
+    cells into the extras list regardless of cube occupancy.  Extras'
+    pairs are re-tabled from their instantaneous positions every pass
+    (lattice_pallas._extras_tables), so a cell in extras is exact at
+    any speed -- routing the few fast movers of a settled tissue there
+    lets the resident (``rebuild_every > 1``) cadence pass the
+    staleness certificate honestly: the lattice's own extrema then
+    bound only the slow bulk."""
     n_pad = X.x.shape[0]
     gx, gy, gz = _grid_dims(grid_size)
     C = capacity
@@ -123,10 +132,24 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
     leaves_X, tree_X = jax.tree.flatten(X)
     leaves_ov, tree_ov = jax.tree.flatten(old_v)
     nx = len(leaves_X)
-    sorted_all = jax.lax.sort((cid, iota, *leaves_X, *leaves_ov),
-                              num_keys=2)
-    sorted_cid, order = sorted_all[0], sorted_all[1]
-    sorted_vals = sorted_all[2:]
+    if route_mask is not None:
+        assert extras_cap, "route_mask requires overflow extras"
+        # routed cells sort to the END of their cube's segment (third
+        # key) so unrouted cells keep the low ranks; they then ride the
+        # ordinary overflow path below via the ``over`` predicate
+        routed_key = route_mask.astype(jnp.int32)
+        sorted_all = jax.lax.sort(
+            (cid, routed_key, iota, *leaves_X, *leaves_ov), num_keys=3)
+        sorted_cid, sorted_routed, order = (sorted_all[0],
+                                            sorted_all[1] > 0,
+                                            sorted_all[2])
+        sorted_vals = sorted_all[3:]
+    else:
+        sorted_routed = None
+        sorted_all = jax.lax.sort((cid, iota, *leaves_X, *leaves_ov),
+                                  num_keys=2)
+        sorted_cid, order = sorted_all[0], sorted_all[1]
+        sorted_vals = sorted_all[2:]
 
     # rank within the cube, from segment starts of the sorted ids
     first = jnp.concatenate([jnp.ones(1, bool),
@@ -134,6 +157,8 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
     seg_start = jax.lax.cummax(jnp.where(first, iota, 0))
     rank = iota - seg_start
     ok = (rank < C) & (sorted_cid < n_cubes)
+    if sorted_routed is not None:
+        ok = ok & ~sorted_routed
     slot_sorted = jnp.where(ok, sorted_cid * C + rank, n_slots)  # drop
 
     def pour(sorted_a, fill=0.0):
@@ -175,6 +200,8 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
         .at[order].set(slot_sorted, mode="drop", unique_indices=True)
 
     over = (rank >= C) & (sorted_cid < n_cubes)
+    if sorted_routed is not None:
+        over = over | (sorted_routed & (sorted_cid < n_cubes))
     if not extras_cap:
         # pour-kernel unrouted cells are missing from the lattice exactly
         # like capacity drops; surface them through the same flag
@@ -668,14 +695,14 @@ def pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid, cube_size, *,
 
 @partial(jax.jit,
          static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 14, 15, 16, 19, 20, 21,
-                         22))
+                         22, 23))
 def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                        grid_size, capacity, z_block,
                        X, old_v, n, dt, cube_size, fix_point,
                        precompute=None, pallas=False, gen=None,
                        gen_args=None, force_r_max=None,
                        extras_cap=0, extras_block_cap=16, rebin_m_cap=0,
-                       rebin_per_pass=False):
+                       rebin_per_pass=False, route_movers=0.0):
     """``n_steps`` Heun steps with lattice-resident state.
 
     Same integration semantics as ``solvers.heun_steps`` (COM/point fixes,
@@ -731,9 +758,27 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
     plane_state = bool(pallas) and rebin_m_cap == 0 \
         and planes_supported(gs, C) and PLANES_CHUNKS
 
+    # mover routing (``route_movers`` > 0, a safety factor): cells whose
+    # chunk-extrapolated old_v displacement could eat half the binning
+    # margin are FORCED into the per-pass-exact extras list at build, so
+    # the resident cadence's staleness certificate measures only the
+    # slow bulk.  Purely a placement heuristic -- a mispredicted mover
+    # is still caught by the certificate, an over-routed chunk by the
+    # extras/block-cap flags.  (Rebin keeps its own slot residency; the
+    # rebuild=1 exact path re-bins per pass; neither needs routing.)
+    route_on = (route_movers > 0 and extras_cap and rebin_m_cap == 0
+                and rebuild_every > 1 and force_r_max is not None)
+
     def build_lay(Xc, ovc):
+        rmask = None
+        if route_on:
+            vmax = jnp.maximum(jnp.abs(ovc.x),
+                               jnp.maximum(jnp.abs(ovc.y), jnp.abs(ovc.z)))
+            margin = cube_size - force_r_max
+            rmask = (vmax * (dt * (rebuild_every * route_movers))
+                     > 0.5 * margin)
         lay = lattice_build(Xc, ovc, n, cube_size, gs, C, extras_cap,
-                            pallas_pour=pallas)
+                            pallas_pour=pallas, route_mask=rmask)
         return planeify_layout(lay, gs, C) if plane_state else lay
 
     def deriv(lay, T, n, E=None):
@@ -908,10 +953,6 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         gdx, gdy, gdz = _grid_dims(gs)
         n_cubes = gdx * gdy * gdz
         track = force_r_max is not None
-        if track and extras_cap:
-            eci = _cube_ids(lay.E, jnp.int32(lay.epid.shape[0]), cube_size,
-                            gs)
-            eci = jnp.where(elive, eci, n_cubes)
 
         def cube_red(arr, fill, red):
             """Per-cube reduction over the slot axis, in whichever slot
@@ -928,6 +969,20 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         def state_deficit(T_at, E_at):
             P = jnp.full((3, n_cubes), -big)
             Q = jnp.full((3, n_cubes), big)
+            if E_at is not None:
+                # extras enter the extrema at their CURRENT per-state
+                # cube: the kernel re-tables extras-lattice pairs every
+                # pass from the extras' instantaneous positions
+                # (_extras_tables in lattice_pallas), so an extra's own
+                # motion can never miss a pair -- only its lattice
+                # partner's staleness matters, and that is what the
+                # current-cube scatter measures.  (Scattering at the
+                # chunk-start cube instead charged fast rattlers --
+                # which are exactly the crowded cells that spill into
+                # extras -- against the margin for no physical reason.)
+                eci = _cube_ids(E_at, jnp.int32(lay.epid.shape[0]),
+                                cube_size, gs)
+                eci = jnp.where(elive, eci, n_cubes)
             for u, f in enumerate(("x", "y", "z")):
                 d2 = getattr(T_at, f)
                 P = P.at[u].set(cube_red(d2, -big, jnp.max))
@@ -955,11 +1010,13 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                     if k.startswith("__err_"):
                         auxe[k] = jnp.maximum(auxe[k], aux1e[k])
                 T_new, E_new = heun(T, d1, d2), heun(E, d1e, d2e)
-                disp_t = jnp.maximum(
-                    jnp.maximum(max_disp(T_new, lay.T, occ),
-                                max_disp(E_new, lay.E, elive)),
-                    jnp.maximum(max_disp(T1, lay.T, occ),
-                                max_disp(E1, lay.E, elive)))
+                # lattice slots only: extras' pairs are re-tabled from
+                # their current positions every pass, so extras' own
+                # displacement cannot open a missed-pair window (the
+                # >= 3-cube fallback only needs the LATTICE partner's
+                # stray from its build cube)
+                disp_t = jnp.maximum(max_disp(T_new, lay.T, occ),
+                                     max_disp(T1, lay.T, occ))
                 if track:
                     dfc = jnp.maximum(dfc, state_deficit(T1, E1))
                     dfc = jnp.maximum(dfc, state_deficit(T_new, E_new))

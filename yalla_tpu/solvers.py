@@ -144,6 +144,13 @@ class LatticeEngine:
     # scales ~capacity^2).  0 = off.
     extras_cap: int = 0
     extras_block_cap: int = 16
+    # route_movers > 0 (a safety factor, e.g. 2.0): with extras and a
+    # resident cadence, cells whose old_v-extrapolated chunk displacement
+    # could eat half the binning margin are FORCED into the per-pass-exact
+    # extras list at build time, so the staleness certificate only has to
+    # bound the slow bulk.  Placement heuristic only -- mispredictions are
+    # still caught by ``__err_stale`` / the extras flags.
+    route_movers: float = 0.0
 
     def __post_init__(self):
         # z_block must divide the grid's z extent (slab scan); shrink
@@ -654,7 +661,8 @@ class Solution:
                 self.d_X, self.d_old_v, self.d_n, jnp.float32(dt),
                 jnp.float32(self.cube_size), jnp.int32(self._fix_point),
                 precompute, e.pallas, gen_static, gen_args, rmax,
-                e.extras_cap, e.extras_block_cap)
+                e.extras_cap, e.extras_block_cap, 0, False,
+                e.route_movers)
             if check_errors:
                 self._check_errors()
             return self.aux
