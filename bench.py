@@ -426,7 +426,8 @@ def build_sorting(n_cells, seed=0):
                              3.0)
         F = 2 * (r_min - dist) * (r_max - dist) + (r_max - dist) ** 2
         pos_ = dist > 0
-        inv = jnp.where(pos_, 1.0 / jnp.where(pos_, dist, 1.0), 0.0)
+        inv = jnp.where(pos_, jax.lax.rsqrt(
+            jnp.where(pos_, dist * dist, 1.0)), 0.0)
         w = jnp.where(near, strength * F * inv, 0.0)
         zero = jnp.zeros_like(dist)
         return Cell(x=r.x * w, y=r.y * w, z=r.z * w, ctype=zero)
@@ -525,7 +526,8 @@ def build_sorting_tile(n_cells, seed=0):
                              3.0)
         F = 2 * (r_min - dist) * (r_max - dist) + (r_max - dist) ** 2
         pos_ = dist > 0
-        inv = jnp.where(pos_, 1.0 / jnp.where(pos_, dist, 1.0), 0.0)
+        inv = jnp.where(pos_, jax.lax.rsqrt(
+            jnp.where(pos_, dist * dist, 1.0)), 0.0)
         w = jnp.where(near, strength * F * inv, 0.0)
         zero = jnp.zeros_like(dist)
         return Cell(x=r.x * w, y=r.y * w, z=r.z * w, ctype=zero)

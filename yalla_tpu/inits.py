@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import math
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,8 +42,8 @@ def relu_force(Xi, r, dist, i, j):
     (ref inits.cuh:78-93)."""
     valid = (i != j) & (dist <= 1.0)
     F = jnp.maximum(0.8 - dist, 0) * 2.0 - jnp.maximum(dist - 0.8, 0)
-    safe = jnp.where(dist > 0, dist, 1.0)
-    w = jnp.where(valid, F / safe, 0.0)
+    safe = jnp.where(dist > 0, dist * dist, 1.0)
+    w = jnp.where(valid & (dist > 0), F * jax.lax.rsqrt(safe), 0.0)
     return Xi.replace(x=r.x * w, y=r.y * w, z=r.z * w,
                       **{f: jnp.zeros_like(dist) for f in Xi._fields[3:]})
 

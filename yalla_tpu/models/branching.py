@@ -89,7 +89,12 @@ def make_force(p: Params):
         F_diff = jnp.maximum(0.8 - dist, 0) * 2 - jnp.maximum(dist - 0.9, 0)
         F = jnp.where(same, F_same, F_diff)
         pos = dist > 0
-        inv = jnp.where(pos, 1.0 / jnp.where(pos, dist, 1.0), 0.0)
+        # rsqrt(dist^2) == 1/dist for dist > 0: one native-rate rsqrt +
+        # one mul instead of an f32 divide (the VPU lowers division to a
+        # multi-op reciprocal refinement; this body runs on every
+        # candidate lane of the lattice kernel)
+        inv = jnp.where(pos, jax.lax.rsqrt(jnp.where(pos, dist * dist,
+                                                     1.0)), 0.0)
         w = jnp.where(near, F * inv, 0.0)
         fx, fy, fz = r.x * w, r.y * w, r.z * w
 
