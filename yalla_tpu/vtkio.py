@@ -44,6 +44,25 @@ def _fmt_rows(arr):
     return out.getvalue()
 
 
+# device->host prefix-transfer bucket: growth models carry n_pad sized
+# for the FINAL population, and pulling whole padded channels through
+# the TPU tunnel (~MB/s) costs more than the frame's compute when the
+# live count is small.  Rounding the transfer length up to a bucket
+# keeps the number of distinct (cached) device slice programs bounded.
+_TRANSFER_BUCKET = 4096
+
+
+def _host_prefix(a, n):
+    """First ``n`` entries of ``a`` on host, transferring only the
+    leading bucket of a device array instead of its full capacity."""
+    if getattr(a, "__module__", "").startswith("numpy") or \
+            isinstance(a, np.ndarray):
+        return np.asarray(a)[:n]
+    m = a.shape[0]
+    nb = min(m, -(-max(int(n), 1) // _TRANSFER_BUCKET) * _TRANSFER_BUCKET)
+    return np.asarray(a[:nb])[:n]
+
+
 class Vtk_output:
     """Write one .vtk file per step (ref vtk.cuh:29-214).
 
@@ -121,7 +140,7 @@ class Vtk_output:
         def job():
             m = None if mask is None else np.asarray(mask)[:n].astype(bool)
             sel = slice(None) if m is None else m
-            xyz = np.stack([np.asarray(a)[:n] for a in xs], axis=1)[sel]
+            xyz = np.stack([_host_prefix(a, n) for a in xs], axis=1)[sel]
             n_write = xyz.shape[0]
             frame["mask"] = m
             frame["n_written"] = n_write
@@ -168,7 +187,7 @@ class Vtk_output:
         path = self._current_path
 
         def job():
-            ha, hb = np.asarray(a)[:m], np.asarray(b)[:m]
+            ha, hb = _host_prefix(a, m), _host_prefix(b, m)
             with open(path, "a") as f:
                 f.write(f"\nLINES {m} {3 * m}\n")
                 from . import _native
@@ -189,7 +208,7 @@ class Vtk_output:
         started, frame, path = self._begin_point_data()
 
         def job():
-            vals = np.asarray(src)[:n]
+            vals = _host_prefix(src, n)
             if frame["mask"] is not None:
                 vals = vals[frame["mask"]]
             with open(path, "a") as f:
@@ -207,8 +226,8 @@ class Vtk_output:
         started, frame, path = self._begin_point_data()
 
         def job():
-            th = np.asarray(th_src)[:n]
-            ph = np.asarray(ph_src)[:n]
+            th = _host_prefix(th_src, n)
+            ph = _host_prefix(ph_src, n)
             nx = np.sin(th) * np.cos(ph)
             ny = np.sin(th) * np.sin(ph)
             nz = np.where((th == 0) & (ph == 0), 0.0, np.cos(th))
@@ -235,7 +254,7 @@ class Vtk_output:
         started, frame, path = self._begin_point_data()
 
         def job():
-            vals = np.asarray(src)[:n].astype(dtype)
+            vals = _host_prefix(src, n).astype(dtype)
             if frame["mask"] is not None:
                 vals = vals[frame["mask"]]
             ptype = "float" if np.issubdtype(dtype, np.floating) else "int"
