@@ -38,11 +38,24 @@ substeps = 11
 
 def main():
     import time
+
+    from yalla_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     t_start = time.perf_counter()
     n_resizes = 0
     cell_steps = 0
     p = B.Params()
-    state, cells, engine = B.init_state(n_0, n_max, p, seed=42)
+    # Capacity-tier scheduling: a static-shape engine's per-pass cost
+    # tracks its PADDED size, not the live count (measured ~135 ms/pass at
+    # zero occupancy on the 500k-sized lattice, benchmarks/diag_flagship),
+    # so the growing tissue runs each phase at the smallest sufficient
+    # tier and re-pads upward.  The reference gets this for free: its
+    # kernel launches follow the live n (branching.cu:265).
+    tier = B.next_tier(n_0, n_max)
+    lineage_cap = 2 * Solution(B.Cell, n_max, solver="grid").n_pad
+    state, cells, engine = B.init_state(n_0, tier, p, seed=42,
+                                        lineage_cap=lineage_cap)
     frame = B.make_frame(p, engine, substeps=substeps)
 
     ctype = Property(cells.n_pad, "type")
@@ -52,6 +65,17 @@ def main():
     # while the device computes frame t+1 (ref branching.cu:263-281)
     with Vtk_output("branching", async_write=True) as output:
         for t in range(n_frames + 1):
+            new_tier = B.next_tier(int(state.n), n_max)
+            if new_tier > tier:
+                tier = new_tier
+                state = B.repad_state(state, tier)
+                engine = B.default_engine(int(state.n), tier, p)
+                frame = B.make_frame(p, engine, substeps=substeps)
+                cells = Solution(B.Cell, tier, engine=engine,
+                                 cube_size=p.r_max)
+                ctype = Property(cells.n_pad, "type")
+                clone = Property(cells.n_pad, "cell_clone")
+                print(f"\nframe {t}: tier -> {tier} ({engine})")
             cells.d_X, cells.d_old_v, cells.d_n = \
                 state.X, state.old_v, state.n
             output.write_positions(cells)
@@ -70,7 +94,7 @@ def main():
                 # the growing tissue outran the engine (out-of-grid or
                 # cube capacity): resize from the live extent, recompile
                 # the frame, and redo this frame from the saved state
-                engine = B.engine_for_state(prev, n_max, p)
+                engine = B.engine_for_state(prev, tier, p)
                 n_resizes += 1
                 print(f"\nframe {t}: resizing engine -> {engine}")
                 frame = B.make_frame(p, engine, substeps=substeps)

@@ -11,13 +11,21 @@ random ``mean_distance / 4`` offset, halves conserved fields, and copies
 TPU-native translation: capacity is static; a boolean *division mask* is
 turned into daughter slots by an exclusive prefix sum (replacing the atomic
 counter -- birth order differs from the reference, which is fine because the
-reference itself is nondeterministic through atomics and time-seeded RNG),
-and daughters are written with out-of-range-dropping scatters.  The whole
-update is one pure jitted function of (X, old_v, n, key); growth never
-recompiles.
+reference itself is nondeterministic through atomics and time-seeded RNG).
+
+Daughters always land in the CONTIGUOUS slot range ``[n, n + k)``, so the
+writes are windowed: a ``birth_cap``-wide window of each array is updated
+with ``lax.dynamic_update_slice`` after gathering the (few) dividing
+parents through a ``searchsorted`` on the prefix sum.  Full-width scatters
+(``.at[tgt].set`` with mostly-dropped targets) cost ~5 ms per channel at
+500k cells on TPU (scatter cost scales with the update count, not the hit
+count); the windowed form is O(birth_cap) per channel and turned the
+flagship's per-substep division pass from the dominant fixed cost into
+noise.  Parent-side field updates stay elementwise (``where(ok, ...)``).
 
 Lineage tracing (``branching.cu:46-55, 154-169``) records a tree node per
-division into preallocated arrays with its own prefix-sum-allocated counter.
+division into preallocated arrays with its own prefix-sum-allocated counter,
+windowed the same way at the node cursor.
 """
 from __future__ import annotations
 
@@ -42,6 +50,13 @@ class DivisionInfo(NamedTuple):
     #                          solvers.cuh:82; callers must check)
 
 
+def _auto_birth_cap(n_pad):
+    """Window width: full for small states (exact legacy semantics), a
+    generous fraction for large ones (~3% of slots; divisions per pass in
+    every reference model are a few permille of n at most)."""
+    return n_pad if n_pad <= 2048 else min(n_pad, max(2048, n_pad // 32))
+
+
 def _random_unit(key, n_pad):
     """Uniform directions via the reference's own parameterization
     (theta = acos(2u - 1), phi = 2 pi u; branching.cu:141-143)."""
@@ -53,8 +68,17 @@ def _random_unit(key, n_pad):
                   z=jnp.cos(theta))
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def proliferate(want_fn, child_fn, X, old_v, n, key, props=()):
+def _window_place(base, child_vals, s, is_child, src, W):
+    """Overlay ``child_vals[src]`` onto ``base[s : s + W]`` where
+    ``is_child``; exact for any clamped window start s."""
+    win = jax.lax.dynamic_slice_in_dim(base, s, W)
+    win = jnp.where(is_child, child_vals[src], win)
+    return jax.lax.dynamic_update_slice_in_dim(base, win, s, axis=0)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 7))
+def proliferate(want_fn, child_fn, X, old_v, n, key, props=(),
+                birth_cap=None):
     """One division pass.
 
     want_fn(X, props, rnd, i, n) -> bool[n_pad]
@@ -65,10 +89,16 @@ def proliferate(want_fn, child_fn, X, old_v, n, key, props=()):
         random unit Float3 per cell (scale it by mean_distance / 4 to match
         the reference placement).
     props: tuple of int/float arrays copied parent -> daughter verbatim.
+    birth_cap: static max divisions applied per call (window width);
+        defaults to all of n_pad below 2048 slots, n_pad / 32 above.
+        Divisions beyond it (or beyond n_pad capacity) are dropped and
+        counted in ``n_lost`` -- the same accounting the capacity bound
+        already has (ref hard-asserts at n_max, solvers.cuh:82).
 
     Returns (X', old_v', n', props', DivisionInfo).
     """
     n_pad = X.x.shape[0]
+    W = _auto_birth_cap(n_pad) if birth_cap is None else min(birth_cap, n_pad)
     i = jnp.arange(n_pad, dtype=jnp.int32)
     active = i < n
     k_rnd, k_dir = jax.random.split(key)
@@ -77,25 +107,38 @@ def proliferate(want_fn, child_fn, X, old_v, n, key, props=()):
 
     offs = jnp.cumsum(want.astype(jnp.int32))
     child_idx = n + offs - 1
-    ok = want & (child_idx < n_pad)
-    # scatter target: out-of-range for non-dividing cells -> dropped
-    tgt = jnp.where(ok, child_idx, n_pad)
+    # both cutoffs are monotone in offs, so the surviving divisions are
+    # exactly the first n_divided wants (a slot-ordered prefix)
+    ok = want & (child_idx < n_pad) & (offs <= W)
+    n_divided = jnp.sum(ok.astype(jnp.int32))
+    n_lost = jnp.sum(want.astype(jnp.int32)) - n_divided
 
     direction = _random_unit(k_dir, n_pad)
     X_parent, X_child = child_fn(X, props, direction, i)
 
+    # parent of the k-th division (k in [0, W)): the first i with offs == k+1
+    parent_of = jnp.searchsorted(
+        offs, jnp.arange(1, W + 1, dtype=offs.dtype), side="left"
+    ).astype(jnp.int32)
+    # daughters occupy global slots [n, n + n_divided); clamp the window so
+    # it stays in bounds, then mask by true slot identity
+    s = jnp.clip(n, 0, n_pad - W).astype(jnp.int32)
+    g = s + jnp.arange(W, dtype=jnp.int32)
+    is_child = (g >= n) & (g < n + n_divided)
+    src = parent_of[jnp.clip(g - n, 0, W - 1)]
+    src = jnp.where(is_child, src, 0)
+
     def place(cur, parent_new, child):
-        cur = jnp.where(ok, parent_new, cur)
-        return cur.at[tgt].set(child, mode="drop")
+        base = jnp.where(ok, parent_new, cur)
+        return _window_place(base, child, s, is_child, src, W)
 
     X_new = jax.tree.map(place, X, X_parent, X_child)
     old_v_new = jax.tree.map(
-        lambda a: a.at[tgt].set(a, mode="drop"), old_v)
+        lambda a: _window_place(a, a, s, is_child, src, W), old_v)
     # scalars pass through untouched (e.g. dynamic rates for want_fn)
-    props_new = tuple(p if jnp.ndim(p) == 0 else p.at[tgt].set(p, mode="drop")
-                      for p in props)
-    n_divided = jnp.sum(ok.astype(jnp.int32))
-    n_lost = jnp.sum(want.astype(jnp.int32)) - n_divided
+    props_new = tuple(
+        p if jnp.ndim(p) == 0 else _window_place(p, p, s, is_child, src, W)
+        for p in props)
     return (X_new, old_v_new, n + n_divided, props_new,
             DivisionInfo(ok=ok, child_idx=child_idx, n_divided=n_divided,
                          n_lost=n_lost))
@@ -136,31 +179,67 @@ def lineage_init(cap, n_pad, n_0):
     )
 
 
-@jax.jit
+@partial(jax.jit, static_argnums=(5,))
 def record_divisions(lin: Lineage, info: DivisionInfo, X, cell_type,
-                     time_progression):
+                     time_progression, birth_cap=None):
     """Append one internal node per division; relabel parent + daughter
-    (branching.cu:154-169)."""
+    (branching.cu:154-169).  ``birth_cap`` must match the value given to
+    ``proliferate`` (both default to the same n_pad-derived window)."""
     cap = lin.node_x.shape[0]
+    n_pad = info.ok.shape[0]
+    W = _auto_birth_cap(n_pad) if birth_cap is None else min(birth_cap, n_pad)
+    Wn = min(W, cap)
     offs = jnp.cumsum(info.ok.astype(jnp.int32))
     node_idx = lin.n_nodes + offs - 1
-    tgt = jnp.where(info.ok, node_idx, cap)  # drop non-divisions
 
-    set_ = lambda arr, val: arr.at[tgt].set(val, mode="drop")
-    ctgt = jnp.where(info.ok, info.child_idx, lin.cell_parent.shape[0])
+    # parent (cell index) of the k-th division this call
+    parent_of = jnp.searchsorted(
+        offs, jnp.arange(1, W + 1, dtype=offs.dtype), side="left"
+    ).astype(jnp.int32)
+    n_div = jnp.sum(info.ok.astype(jnp.int32))
+
+    # ---- node window at the node cursor --------------------------------
+    sn = jnp.clip(lin.n_nodes, 0, cap - Wn).astype(jnp.int32)
+    gn = sn + jnp.arange(Wn, dtype=jnp.int32)
+    is_node = (gn >= lin.n_nodes) & (gn < lin.n_nodes + n_div) & (gn < cap)
+    psrc = parent_of[jnp.clip(gn - lin.n_nodes, 0, W - 1)]
+    psrc = jnp.where(is_node, psrc, 0)
+
+    def put_node(arr, vals):
+        win = jax.lax.dynamic_slice_in_dim(arr, sn, Wn)
+        win = jnp.where(is_node, vals, win)
+        return jax.lax.dynamic_update_slice_in_dim(arr, win, sn, axis=0)
+
+    # ---- daughter window in cell space ([n, n + n_div)) ----------------
+    # the cell count n is info.child_idx of the first divider (child slots
+    # are allocated from n upward); degenerate when nothing divided
+    n_cells = jnp.where(n_div > 0, info.child_idx[parent_of[0]], 0)
+    sc = jnp.clip(n_cells, 0, n_pad - W).astype(jnp.int32)
+    gc = sc + jnp.arange(W, dtype=jnp.int32)
+    is_child = (gc >= n_cells) & (gc < n_cells + n_div)
+    csrc = parent_of[jnp.clip(gc - n_cells, 0, W - 1)]
+    csrc = jnp.where(is_child, csrc, 0)
+    child_node = lin.n_nodes + (gc - n_cells)  # node id of the child's parent
+
+    def put_child(arr, vals):
+        win = jax.lax.dynamic_slice_in_dim(arr, sc, W)
+        win = jnp.where(is_child, vals, win)
+        return jax.lax.dynamic_update_slice_in_dim(arr, win, sc, axis=0)
+
+    cell_parent_par = jnp.where(info.ok, node_idx, lin.cell_parent)
     new = lin._replace(
-        n_nodes=lin.n_nodes + jnp.sum(info.ok.astype(jnp.int32)),
-        node_x=set_(lin.node_x, X.x),
-        node_y=set_(lin.node_y, X.y),
-        node_z=set_(lin.node_z, X.z),
-        node_time=set_(lin.node_time,
-                       jnp.full_like(lin.node_time[0], time_progression)),
-        node_parent=set_(lin.node_parent, lin.cell_parent),
-        node_clone=set_(lin.node_clone, lin.cell_clone),
-        node_type=set_(lin.node_type, cell_type),
-        cell_clone=lin.cell_clone.at[ctgt].set(lin.cell_clone, mode="drop"),
-        cell_parent=jnp.where(info.ok, node_idx, lin.cell_parent)
-        .at[ctgt].set(jnp.where(info.ok, node_idx, lin.cell_parent),
-                      mode="drop"),
+        n_nodes=lin.n_nodes + n_div,
+        node_x=put_node(lin.node_x, X.x[psrc]),
+        node_y=put_node(lin.node_y, X.y[psrc]),
+        node_z=put_node(lin.node_z, X.z[psrc]),
+        node_time=put_node(lin.node_time,
+                           jnp.full(Wn, time_progression,
+                                    lin.node_time.dtype)),
+        node_parent=put_node(lin.node_parent, lin.cell_parent[psrc]),
+        node_clone=put_node(lin.node_clone, lin.cell_clone[psrc]),
+        node_type=put_node(lin.node_type, cell_type[psrc]),
+        cell_clone=put_child(lin.cell_clone, lin.cell_clone[csrc]),
+        cell_parent=put_child(cell_parent_par,
+                              jnp.where(is_child, child_node, 0)),
     )
     return new

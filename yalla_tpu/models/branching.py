@@ -184,6 +184,59 @@ def make_child_fn(p: Params):
     return child
 
 
+def tier_caps(n_max):
+    """Capacity tiers for a tissue growing toward ``n_max``.
+
+    The per-pass cost of every static-shape engine is bound by its PADDED
+    size (the build sorts n_pad rows; the pour/kernel cover the full
+    grid), not the live count -- a 500-cell seed on a 500k-sized engine
+    pays the 500k structural floor (measured ~135 ms/pass at zero
+    occupancy, benchmarks/diag_flagship.py).  Growing models therefore
+    run each growth phase at the smallest sufficient tier and re-pad
+    upward (``repad_state``); the reference gets this for free because
+    its kernel launches follow the live count (branching.cu:265 sizes
+    <<<(n + 128 - 1)/128, 128>>>)."""
+    from ..solvers import _pad_size
+    final = _pad_size(n_max)
+    tiers, t = [], 4096
+    while t < final:
+        tiers.append(t)
+        t *= 4
+    return tiers + [final]
+
+
+def next_tier(n_now, n_max, headroom=0.7):
+    """Smallest tier with ``n_now <= headroom * tier`` (the last tier
+    regardless)."""
+    tiers = tier_caps(n_max)
+    for t in tiers:
+        if n_now <= headroom * t:
+            return t
+    return tiers[-1]
+
+
+def repad_state(state: State, n_pad_new: int) -> State:
+    """Re-pad the per-cell arrays of ``state`` to ``n_pad_new`` slots
+    (device-side; lineage node arrays keep their full capacity)."""
+    def repad(a, fill):
+        m = a.shape[0]
+        if n_pad_new <= m:
+            return a[:n_pad_new]
+        pad = jnp.full((n_pad_new - m,) + a.shape[1:], fill, a.dtype)
+        return jnp.concatenate([a, pad])
+
+    lin = state.lineage._replace(
+        cell_parent=repad(state.lineage.cell_parent, -1),
+        cell_clone=repad(state.lineage.cell_clone, 0))
+    return state._replace(
+        X=jax.tree.map(lambda a: repad(a, 0), state.X),
+        old_v=jax.tree.map(lambda a: repad(a, 0), state.old_v),
+        lineage=lin,
+        epi_nbs=repad(state.epi_nbs, 0),
+        mes_nbs=repad(state.mes_nbs, 0),
+    )
+
+
 def default_engine(n_now, n_max, p: Params = Params(), extent=None,
                    max_occ=9):
     """Engine for the model: the gather-grid translation at small n_max,
@@ -200,8 +253,12 @@ def default_engine(n_now, n_max, p: Params = Params(), extent=None,
     reactive fallback for states that escape the predicted envelope."""
     from ..solvers import LatticeEngine
     from ..ops.lattice_xla import pick_lattice_dims
-    if n_max <= 20_000:
-        return GridEngine(grid_size=100, row_cap=32)
+    if n_max <= 20_000 and jax.default_backend() != "tpu":
+        # honour the measured occupancy: engine_for_state retries after a
+        # __err_grid_overflow must return a roomier engine, not the same
+        # one.  row_cap bounds a 3-cube row (ops/grid_xla.py:94-98), so
+        # size it from 3x the worst single cube plus headroom.
+        return GridEngine(grid_size=100, row_cap=max(32, 3 * max_occ + 16))
     if extent is None:
         # packed-ball radius at the FINAL count (~0.8 rest spacing), plus
         # branching-outgrowth margin (branches extend past the ball)

@@ -7,7 +7,9 @@ VTK files doubling as checkpoints.  The rebuild keeps both (see
 ``jax.profiler`` trace context, native array checkpoints, and runtime
 capacity checks (the analogue of the reference's device asserts).
 """
+from .cache import enable_compilation_cache
 from .checkpoint import load_solution, save_solution
 from .profiling import StepTimer, trace
 
-__all__ = ["StepTimer", "trace", "save_solution", "load_solution"]
+__all__ = ["StepTimer", "trace", "save_solution", "load_solution",
+           "enable_compilation_cache"]
