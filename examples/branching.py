@@ -58,39 +58,71 @@ def main():
                                         lineage_cap=lineage_cap)
     frame = B.make_frame(p, engine, substeps=substeps)
 
-    ctype = Property(cells.n_pad, "type")
-    clone = Property(cells.n_pad, "cell_clone")
+    # Pre-compile the NEXT tier's frame on a background thread: the AOT
+    # compile fills the persistent cache while the current tier runs, so
+    # a tier jump costs a cache load instead of a tunnel compile.
+    import threading
+
+    def precompile(tier_next, state_now):
+        eng = B.default_engine(tier_next, tier_next, p)
+        frm = B.make_frame(p, eng, substeps=substeps)
+        shapes = jax.eval_shape(lambda s: B.repad_state(s, tier_next),
+                                state_now)
+        frm.lower(shapes, jax.ShapeDtypeStruct((), jnp.float32)).compile()
+
+    def start_precompile(tier_now, state_now):
+        caps = B.tier_caps(n_max)
+        if tier_now < caps[-1]:
+            nxt = caps[caps.index(tier_now) + 1]
+            th = threading.Thread(target=precompile, args=(nxt, state_now),
+                                  daemon=True)
+            th.start()
+            return th
+        return None
+
+    pre_thread = start_precompile(tier, state)
+
+    def fused_errs(errs, n):
+        """One device round trip for the error flags + live count (each
+        separate float() costs a ~30 ms tunnel readback)."""
+        keys = [k for k in errs if k != "__err_cells_lost"]
+        vec = jnp.concatenate([
+            jnp.stack([errs[k] for k in keys]) if keys else jnp.zeros(0),
+            n.astype(jnp.float32)[None]])
+        host = np.asarray(vec)
+        return bool(np.any(host[:-1])), int(host[-1]), {
+            k: float(v) for k, v in zip(keys, host)}
 
     # async_write: frame t transfers/formats/writes on a worker thread
     # while the device computes frame t+1 (ref branching.cu:263-281)
+    n_live = n_0
     with Vtk_output("branching", async_write=True) as output:
         for t in range(n_frames + 1):
-            new_tier = B.next_tier(int(state.n), n_max)
+            new_tier = B.next_tier(n_live, n_max)
             if new_tier > tier:
+                if pre_thread is not None:
+                    pre_thread.join()  # cache is filled; load, don't compile
                 tier = new_tier
                 state = B.repad_state(state, tier)
-                engine = B.default_engine(int(state.n), tier, p)
+                engine = B.default_engine(tier, tier, p)
                 frame = B.make_frame(p, engine, substeps=substeps)
                 cells = Solution(B.Cell, tier, engine=engine,
                                  cube_size=p.r_max)
-                ctype = Property(cells.n_pad, "type")
-                clone = Property(cells.n_pad, "cell_clone")
                 print(f"\nframe {t}: tier -> {tier} ({engine})")
+                pre_thread = start_precompile(tier, state)
             cells.d_X, cells.d_old_v, cells.d_n = \
                 state.X, state.old_v, state.n
-            output.write_positions(cells)
-            output.write_polarity(cells)
-            output.write_field(cells, "u")
-            output.write_field(cells, "v")
-            ctype.d_prop = state.X.ctype.astype(jnp.int32)
-            clone.d_prop = state.lineage.cell_clone
-            output.write_property(ctype)
-            output.write_property(clone)
-            prev = state
-            cell_steps += substeps * int(state.n)
+            # the whole frame's outputs in ONE device->host transfer
+            output.write_frame(
+                cells, polarity=True, fields=("u", "v"),
+                properties=(("type", state.X.ctype, np.int32),
+                            ("cell_clone", state.lineage.cell_clone,
+                             np.int32)))
+            prev, prev_n = state, n_live
+            cell_steps += substeps * n_live
             state, errs = frame(state, jnp.float32(t / max(n_frames, 1)))
-            if any(float(v) for k, v in errs.items()
-                   if k != "__err_cells_lost"):
+            bad, n_live, _ = fused_errs(errs, state.n)
+            if bad:
                 # the growing tissue outran the engine (out-of-grid or
                 # cube capacity): resize from the live extent, recompile
                 # the frame, and redo this frame from the saved state
@@ -99,9 +131,8 @@ def main():
                 print(f"\nframe {t}: resizing engine -> {engine}")
                 frame = B.make_frame(p, engine, substeps=substeps)
                 state, errs = frame(prev, jnp.float32(t / max(n_frames, 1)))
-                assert not any(
-                    float(v) for k, v in errs.items()
-                    if k != "__err_cells_lost"), f"still failing: {errs}"
+                bad, n_live, detail = fused_errs(errs, state.n)
+                assert not bad, f"still failing: {detail}"
     wall = time.perf_counter() - t_start
     print(f"\n# branching flagship: {n_frames} frames x {substeps} substeps"
           f" in {wall:.1f} s ({n_frames / wall:.2f} frames/s,"

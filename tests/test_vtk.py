@@ -145,3 +145,63 @@ def test_async_write_propagates_errors(tmp_path):
         pass
     else:
         raise AssertionError("worker error was swallowed")
+
+
+def test_write_frame_matches_per_array(tmp_path):
+    """write_frame (single-transfer fast path) is byte-identical to the
+    per-array write sequence, in both sync and async modes."""
+    n = 50
+    pts = Solution(Po_cell4, n, solver="tile")
+    pts.h_X.x[:n] = rng.random(n)
+    pts.h_X.y[:n] = rng.random(n)
+    pts.h_X.z[:n] = rng.random(n)
+    pts.h_X.w[:n] = rng.random(n)
+    pts.h_X.theta[:n] = np.arccos(2 * rng.random(n) - 1)
+    pts.h_X.phi[:n] = rng.random(n) * 2 * math.pi - math.pi
+    pts.copy_to_device()
+    ints = Property(n, "intprop", np.int32)
+    ints.h_prop[:] = rng.integers(0, 100, n)
+    ints.copy_to_device()
+    fprop = Property(n, "fprop", np.float32)
+    fprop.h_prop[:] = rng.random(n).astype(np.float32)
+    fprop.copy_to_device()
+    mask = np.arange(n) % 5 != 0
+
+    ref_dir = str(tmp_path) + "/ref/"
+    with Vtk_output("t", ref_dir, verbose=False, async_write=True) as out:
+        for _ in range(2):
+            out.write_positions(pts, mask=mask)
+            out.write_polarity(pts)
+            out.write_field(pts, "w")
+            out.write_property(ints)
+            out.write_property(fprop)
+
+    for mode in (False, True):
+        got_dir = str(tmp_path) + f"/frame{int(mode)}/"
+        with Vtk_output("t", got_dir, verbose=False,
+                        async_write=mode) as out:
+            for _ in range(2):
+                out.write_frame(pts, mask=mask, polarity=True,
+                                fields=("w",), properties=(ints, fprop))
+        for t in range(2):
+            a = open(ref_dir + f"t_{t}.vtk").read()
+            b = open(got_dir + f"t_{t}.vtk").read()
+            assert a == b, f"frame {t} differs (async={mode})"
+
+
+def test_write_frame_property_tuple(tmp_path):
+    """(name, device_array, dtype) property tuples avoid a host Property
+    round trip; ints survive exactly."""
+    import jax.numpy as jnp
+    n = 20
+    pts = Solution(Po_cell4, n, solver="tile")
+    pts.h_X.x[:n] = rng.random(n)
+    pts.copy_to_device()
+    clone = jnp.arange(pts.n_pad, dtype=jnp.int32) * 3
+    with Vtk_output("t", str(tmp_path) + "/", verbose=False) as out:
+        out.write_frame(pts, properties=(("cl", clone, np.int32),))
+    txt = open(str(tmp_path) + "/t_0.vtk").read()
+    assert "SCALARS cl int" in txt
+    sec = txt.split("LOOKUP_TABLE default\n")[1]
+    vals = [int(v) for v in sec.strip().splitlines()[:n]]
+    assert vals == [3 * i for i in range(n)]

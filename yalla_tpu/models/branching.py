@@ -259,15 +259,21 @@ def default_engine(n_now, n_max, p: Params = Params(), extent=None,
         # one.  row_cap bounds a 3-cube row (ops/grid_xla.py:94-98), so
         # size it from 3x the worst single cube plus headroom.
         return GridEngine(grid_size=100, row_cap=max(32, 3 * max_occ + 16))
+    margin = 0.0
     if extent is None:
-        # packed-ball radius at the FINAL count (~0.8 rest spacing), plus
-        # branching-outgrowth margin (branches extend past the ball)
-        import numpy as np
-        extent = 0.8 * (3 * max(n_max, 1) / (4 * np.pi)) ** (1 / 3) + 2.0
+        # measured equilibrium half-extent of the settled adhesive tissue
+        # is ~n^(1/3) * rest_spacing / 2 (the branching potential packs up
+        # to 8 cells per unit cube, BASELINE.md), NOT the 0.8-spacing ball
+        # model -- that overestimate cost a 112-cube grid where 64 fits at
+        # 500k, and the structural floor scales with gs^3.  Branch
+        # outgrowth margin on top; engine_for_state remains the reactive
+        # fallback for states that escape it.
+        extent = max(n_max, 1) ** (1 / 3) * 0.8 / 2
+        margin = 4.0
     pallas = jax.default_backend() == "tpu"
     # with extras the capacity tracks the TYPICAL occupancy (kernel cost
     # ~ C^2); the worst cubes spill into the exactly-handled side list
-    gs, C = pick_lattice_dims(extent * 1.3, p.r_max,
+    gs, C = pick_lattice_dims(extent + margin, p.r_max,
                               max_occ - 2 if pallas else max_occ)
     return LatticeEngine(grid_size=gs, capacity=C, z_block=2, pallas=pallas,
                          extras_cap=4096 if pallas else 0,

@@ -241,6 +241,115 @@ class Vtk_output:
 
         self._submit(job)
 
+    # -- whole frame in one transfer ------------------------------------------
+    def write_frame(self, points, mask=None, polarity=False,
+                    polarity_axis=DEFAULT_AXIS, fields=(), properties=()):
+        """Positions + polarity + fields + properties with ONE device->host
+        transfer (two when int properties are present).
+
+        The per-array ``write_*`` calls each pull their channels separately;
+        through the TPU tunnel every pull pays ~30 ms of latency, so a
+        6-array frame costs ~0.3-1 s of round trips -- more than the
+        device compute of a whole frame for small tissues.  This packs all
+        requested channels into one stacked device array (a single cached
+        slice program per transfer bucket) and writes every section from
+        the one pulled buffer.
+
+        fields: Pt field names -> SCALARS float sections.
+        properties: ``Property`` objects or ``(name, device_array, dtype)``
+            tuples; int dtypes ride a second (int32) stacked pull.
+        """
+        import jax.numpy as jnp
+
+        if getattr(points, "d_X", None) is None:
+            points.copy_to_device()
+        n = points.get_d_n()
+        d = points.d_X
+
+        fcols, fsections = [d.x, d.y, d.z], []
+        if polarity:
+            fcols += [getattr(d, polarity_axis[0]),
+                      getattr(d, polarity_axis[1])]
+        for name in fields:
+            fsections.append((name, len(fcols)))
+            fcols.append(getattr(d, name))
+        icols, psections = [], []
+        for p in properties:
+            if isinstance(p, tuple):
+                name, arr, dtype = p
+            else:
+                name, dtype = p.name, p.dtype
+                arr = p.d_prop if p.d_prop is not None else p.h_prop
+            if np.issubdtype(np.dtype(dtype), np.floating):
+                psections.append((name, "float", "f", len(fcols)))
+                fcols.append(jnp.asarray(arr).astype(jnp.float32))
+            else:
+                psections.append((name, "int", "i", len(icols)))
+                icols.append(jnp.asarray(arr).astype(jnp.int32))
+        # transfer length: the bucketed live prefix, clamped to the
+        # shortest column (properties may carry a smaller padding)
+        nb = -(-max(int(n), 1) // _TRANSFER_BUCKET) * _TRANSFER_BUCKET
+        nb = min([nb] + [c.shape[0] for c in fcols + icols])
+        fbuf = jnp.stack([c[:nb] for c in fcols], axis=1)
+        ibuf = jnp.stack([c[:nb] for c in icols], axis=1) if icols else None
+
+        self.n_points = n
+        path = f"{self.output_dir}{self.base_name}_{self.time_step}.vtk"
+        self._current_path = path
+        frame = {}
+        self._frame = frame
+        base_name = self.base_name
+        self._point_data_started = True
+
+        def job():
+            F = np.asarray(fbuf)[:n]
+            I = np.asarray(ibuf)[:n] if ibuf is not None else None
+            m = None if mask is None else np.asarray(mask)[:n].astype(bool)
+            sel = slice(None) if m is None else m
+            F = F[sel]
+            I = I[sel] if I is not None else None
+            n_write = F.shape[0]
+            frame["mask"] = m
+            frame["n_written"] = n_write
+            from . import _native
+            with open(path, "w") as f:
+                f.write("# vtk DataFile Version 3.0\n")
+                f.write(f"{base_name}\n")
+                f.write("ASCII\nDATASET POLYDATA\n")
+                f.write(f"\nPOINTS {n_write} float\n")
+                f.write(_fmt_rows(F[:, :3]))
+                f.write(f"\nVERTICES {n_write} {2 * n_write}\n")
+                verts = _native.format_vertices(n_write)
+                f.write(verts if verts is not None
+                        else "".join(f"1 {i}\n" for i in range(n_write)))
+                f.write(f"\nPOINT_DATA {n_write}\n")
+                if polarity:
+                    th, ph = F[:, 3], F[:, 4]
+                    nx = np.sin(th) * np.cos(ph)
+                    ny = np.sin(th) * np.sin(ph)
+                    nz = np.where((th == 0) & (ph == 0), 0.0, np.cos(th))
+                    f.write("NORMALS polarity float\n")
+                    f.write(_fmt_rows(np.stack([nx, ny, nz], axis=1)))
+                for name, col in fsections:
+                    f.write(f"SCALARS {name} float\nLOOKUP_TABLE default\n")
+                    f.write(_fmt_rows(F[:, col][:, None]))
+                for name, ptype, kind, col in psections:
+                    f.write(f"SCALARS {name} {ptype}\n"
+                            f"LOOKUP_TABLE default\n")
+                    if kind == "i":
+                        text = _native.format_ints(
+                            np.ascontiguousarray(I[:, col]))
+                        f.write(text if text is not None else
+                                "".join(f"{int(v)}\n" for v in I[:, col]))
+                    else:
+                        f.write(_fmt_rows(F[:, col][:, None]))
+
+        self._submit(job)
+        self.time_step += 1
+        if self.verbose:
+            print(f"Integrating {self.base_name}, {self.time_step} steps "
+                  f"done ({n} points)        ", end="\r", flush=True)
+
     # -- properties (ref vtk.cuh:189-214) -------------------------------------
     def write_property(self, prop):
         if self._pool is None:
