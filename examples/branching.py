@@ -34,6 +34,45 @@ n_0 = 500
 n_max = _argv_int(1, 500000)
 n_frames = _argv_int(2, 500)
 substeps = 11
+CKPT_EVERY = 20
+CKPT_PATH = "output/branching.ckpt.npz"
+
+
+def _state_treedef():
+    """Tree structure of a branching State (shape-independent)."""
+    from yalla_tpu.dtypes import Float3
+    from yalla_tpu.growth import lineage_init
+    z = jnp.zeros(1)
+    cell = B.Cell(*([z] * len(B.Cell._fields)))
+    tmpl = B.State(X=cell, old_v=Float3(z, z, z), n=jnp.int32(0),
+                   lineage=lineage_init(1, 1, 0), epi_nbs=z, mes_nbs=z,
+                   key=jax.random.PRNGKey(0))
+    return jax.tree_util.tree_structure(tmpl)
+
+
+def save_ckpt(path, state, t_next, tier, cell_steps, n_resizes, wall):
+    """Atomic npz snapshot of the full State + loop bookkeeping, so a
+    tunnel outage mid-run (the TPU worker restarts from time to time)
+    costs at most CKPT_EVERY frames instead of the whole run."""
+    leaves = jax.tree_util.tree_leaves(state)
+    data = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+    data["meta"] = np.array([t_next, tier, cell_steps, n_resizes], np.int64)
+    data["wall"] = np.float64(wall)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **data)
+    os.replace(tmp, path)
+
+
+def load_ckpt(path):
+    """Restore (state, t_next, tier, cell_steps, n_resizes, wall)."""
+    with np.load(path) as data:
+        t_next, tier, cell_steps, n_resizes = (int(x) for x in data["meta"])
+        wall = float(data["wall"])
+        n_leaves = sum(1 for k in data.files if k.startswith("leaf_"))
+        leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n_leaves)]
+    state = jax.tree_util.tree_unflatten(_state_treedef(), leaves)
+    return state, t_next, tier, cell_steps, n_resizes, wall
 
 
 def main():
@@ -54,8 +93,18 @@ def main():
     # kernel launches follow the live n (branching.cu:265).
     tier = B.next_tier(n_0, n_max)
     lineage_cap = 2 * Solution(B.Cell, n_max, solver="grid").n_pad
-    state, cells, engine = B.init_state(n_0, tier, p, seed=42,
-                                        lineage_cap=lineage_cap)
+    t0 = 0
+    if "--resume" in sys.argv and os.path.exists(CKPT_PATH):
+        state, t0, tier, cell_steps, n_resizes, prev_wall = \
+            load_ckpt(CKPT_PATH)
+        t_start -= prev_wall  # keep cumulative wall-clock honest
+        engine = B.default_engine(tier, tier, p)
+        cells = Solution(B.Cell, tier, engine=engine, cube_size=p.r_max)
+        print(f"# resuming from {CKPT_PATH}: frame {t0}, tier {tier}, "
+              f"n = {int(state.n)}")
+    else:
+        state, cells, engine = B.init_state(n_0, tier, p, seed=42,
+                                            lineage_cap=lineage_cap)
     frame = B.make_frame(p, engine, substeps=substeps)
 
     # Pre-compile the NEXT tier's frame on a background thread: the AOT
@@ -95,9 +144,10 @@ def main():
 
     # async_write: frame t transfers/formats/writes on a worker thread
     # while the device computes frame t+1 (ref branching.cu:263-281)
-    n_live = n_0
+    n_live = int(state.n) if t0 else n_0
     with Vtk_output("branching", async_write=True) as output:
-        for t in range(n_frames + 1):
+        output.time_step = t0
+        for t in range(t0, n_frames + 1):
             new_tier = B.next_tier(n_live, n_max)
             if new_tier > tier:
                 if pre_thread is not None:
@@ -133,6 +183,9 @@ def main():
                 state, errs = frame(prev, jnp.float32(t / max(n_frames, 1)))
                 bad, n_live, detail = fused_errs(errs, state.n)
                 assert not bad, f"still failing: {detail}"
+            if t and t % CKPT_EVERY == 0:
+                save_ckpt(CKPT_PATH, state, t + 1, tier, cell_steps,
+                          n_resizes, time.perf_counter() - t_start)
     wall = time.perf_counter() - t_start
     print(f"\n# branching flagship: {n_frames} frames x {substeps} substeps"
           f" in {wall:.1f} s ({n_frames / wall:.2f} frames/s,"

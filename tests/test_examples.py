@@ -177,3 +177,31 @@ def test_branching_example(outdir):
     m.main()
     _check_vtk(outdir, "branching")
     _check_vtk(outdir, "branching.tree")
+
+
+def test_branching_resume(outdir):
+    """A tunnel outage mid-run resumes from the periodic checkpoint with
+    loop bookkeeping (frame index, tier, counters) intact."""
+    import sys
+
+    import branching as m
+    importlib.reload(m)
+    m.n_0 = 100
+    m.n_max = 300
+    m.n_frames = 8
+    m.substeps = 2
+    m.CKPT_EVERY = 3
+    m.main()
+    assert (outdir / "output" / "branching.ckpt.npz").exists()
+    state, t0, tier, cell_steps, n_resizes, wall = m.load_ckpt(m.CKPT_PATH)
+    assert t0 == 7 and cell_steps > 0 and wall > 0
+    old_argv = sys.argv
+    sys.argv = ["branching.py", "300", "10", "--resume"]
+    try:
+        m.n_frames = 10
+        m.main()
+    finally:
+        sys.argv = old_argv
+    _check_vtk(outdir, "branching")
+    # resumed frames continue the numbering where the checkpoint left off
+    assert (outdir / "output" / "branching_10.vtk").exists()
