@@ -93,28 +93,36 @@ def cube_coord(v, cube_size, grid_size):
     return jnp.clip(c, 0, grid_size - 1)
 
 
-def cube_ids(X, n, cube_size, grid_size):
+def cube_ids(X, n, cube_size, grid_size, x_split=1):
     """Cube id per point, x-minor (ref solvers.cuh:349-365); inactive
-    points get the sentinel ``gx * gy * gz`` (sorts past every cube)."""
+    points get the sentinel ``gx * gy * gz`` (sorts past every cube).
+
+    ``x_split > 1`` bins x at ``cube_size / x_split`` (thin x-cubes: the
+    lattice kernels then sweep ``+-x_split`` x-neighbours to keep the
+    full ``cube_size`` interaction reach, trading a *lower per-cube
+    capacity* -- the kernel-cost lever -- for more, cheaper x shifts;
+    ``gx`` counts the thin cubes)."""
     gx, gy, gz = grid_dims(grid_size)
     active = jnp.arange(X.x.shape[0], dtype=jnp.int32) < n
-    cid = (cube_coord(X.x, cube_size, gx)
+    cid = (cube_coord(X.x, cube_size / x_split, gx)
            + (cube_coord(X.y, cube_size, gy)
               + cube_coord(X.z, cube_size, gz) * gy) * gx)
     return jnp.where(active, cid, gx * gy * gz)
 
 
-def out_of_grid_mask(X, n, cube_size, grid_size):
+def out_of_grid_mask(X, n, cube_size, grid_size, x_split=1):
     """Per-point True where an active point's UNCLIPPED cube coordinate
     falls outside the grid (clipping would mis-bin it)."""
     gx, gy, gz = grid_dims(grid_size)
     active = jnp.arange(X.x.shape[0], dtype=jnp.int32) < n
 
-    def bad(v, g):
-        c = jnp.floor(v / cube_size).astype(jnp.int32) + g // 2
+    def bad(v, g, cs):
+        c = jnp.floor(v / cs).astype(jnp.int32) + g // 2
         return (c < 0) | (c >= g)
 
-    return active & (bad(X.x, gx) | bad(X.y, gy) | bad(X.z, gz))
+    return active & (bad(X.x, gx, cube_size / x_split)
+                     | bad(X.y, gy, cube_size)
+                     | bad(X.z, gz, cube_size))
 
 
 def split_force_output(out):

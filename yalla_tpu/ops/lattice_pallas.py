@@ -192,7 +192,8 @@ DEFAULT_Y_BLOCK = 16
 def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                             grid_size, capacity, z_block, y_block=None,
                             extras_block_cap=16, grid_z=None, n_pad=None,
-                            z_halo=None, planes=None, pre_planed=False):
+                            z_halo=None, planes=None, pre_planed=False,
+                            x_split=1):
     """Pairwise sums in lattice layout on the TPU VPU (see module docs).
 
     Returns (F (dF-typed tree), sum_friction, sum_v 3-tuple, aux dict),
@@ -231,9 +232,11 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
         # planes a net LOSS (~36 ms/pass at 500k) -- only dispatch when
         # the caller keeps its state in planes order (lattice_heun_steps
         # does); the z-slab sharded path stays on the flat kernel
-        planes = pre_planed and planes_supported(grid_size, capacity)
+        planes = (pre_planed and planes_supported(grid_size, capacity)
+                  and x_split == 1)
     assert planes or not pre_planed
     if planes:
+        assert x_split == 1, "planes layout does not support x_split"
         # slot-plane layout: ~25% fewer lane-evals and 3P rolls instead
         # of 4C - 1 per block (lattice_planes module docs)
         return lattice_pairwise_planes(
@@ -265,9 +268,13 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
     ny = gy // yb
     # block-local slot ids ride f32 lanes; they (plus the largest window
     # offset) must stay exactly representable
-    assert (zb + 2) * (yb + 2) * W + 2 * C < 2 ** 24, \
+    xs_k = x_split
+    assert (zb + 2) * (yb + 2) * W + (xs_k + 1) * C < 2 ** 24, \
         "z_block * y_block * gs * C too large for exact f32 slot ids"
-    n_shifts = 4 * C - 1        # flat x shifts cover cube offsets -1..+1
+    # flat x shifts cover (thin-)cube offsets -k..+k: a point at slot
+    # 0..C-1 of its cube reaches slots up to (k + 1) * C - 1 lanes away
+    smax = (xs_k + 1) * C - 1
+    n_shifts = 2 * smax + 1     # isotropic (k = 1): the familiar 4C - 1
 
     pw_off = getattr(pw_int, "offdiag", None) or pw_int
     field_leaves, field_tree = jax.tree.flatten(layout.T)
@@ -616,13 +623,14 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
             # yb + 16 rows, and rolling its 14 dead alignment rows 4C - 1
             # times per block cost ~25% of the total roll issue slots
             rr_ref[...] = pltpu.roll(
-                rj_ref[slot, :, :, 7:7 + yb + 2], 2 * C - 1, axis=3)
+                rj_ref[slot, :, :, 7:7 + yb + 2], smax, axis=3)
 
             def body(t, _):
-                s = t - (2 * C - 1)
+                s = t - smax
                 q = lane + s                   # partner's flat x position
-                dcube = (q + 4 * C) // C - (lane + 4 * C) // C
-                valid_x = (q >= 0) & (q < W) & (dcube >= -1) & (dcube <= 1)
+                off = (xs_k + 3) * C           # keep // args non-negative
+                dcube = (q + off) // C - (lane + off) // C
+                valid_x = (q >= 0) & (q < W) & (dcube >= -xs_k) & (dcube <= xs_k)
 
                 for dz in (0, 1, 2):
                     for dy in (0, 1, 2):

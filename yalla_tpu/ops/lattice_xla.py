@@ -93,7 +93,8 @@ from .common import out_of_grid_mask as _oob_mask
 
 
 def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
-                  extras_cap=0, pallas_pour=False, route_mask=None):
+                  extras_cap=0, pallas_pour=False, route_mask=None,
+                  x_split=1):
     """Sort by cube id and pour points into the dense lattice.
 
     Random-access-minimal construction (XLA:TPU gathers/scatters run at
@@ -122,11 +123,11 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
     C = capacity
     n_cubes = gx * gy * gz
     n_slots = n_cubes * C
-    cid = _cube_ids(X, n, cube_size, grid_size)
+    cid = _cube_ids(X, n, cube_size, grid_size, x_split)
     iota = jnp.arange(n_pad, dtype=jnp.int32)
     active = iota < n
 
-    n_oob = jnp.sum(_oob_mask(X, n, cube_size, grid_size),
+    n_oob = jnp.sum(_oob_mask(X, n, cube_size, grid_size, x_split),
                     dtype=jnp.int32)
 
     leaves_X, tree_X = jax.tree.flatten(X)
@@ -237,7 +238,8 @@ def lattice_build(X, old_v, n, cube_size, grid_size, capacity,
 
 
 def lattice_rebin(layout: LatticeLayout, cube_size, grid_size, capacity,
-                  m_cap, extras_cap=0, carry=None, carry_E=None):
+                  m_cap, extras_cap=0, carry=None, carry_E=None,
+                  x_split=1):
     """Re-derive the binning from the CURRENT slot-space positions.
 
     Produces the same cube MEMBERSHIP as ``lattice_unbuild`` followed by
@@ -279,16 +281,19 @@ def lattice_rebin(layout: LatticeLayout, cube_size, grid_size, capacity,
     T, Tov = layout.T, layout.Tov
     occ = layout.pid < n_pad
 
+    cube_x = cube_size / x_split
+
     def cid_of(P, live):
         cid = (cube_coord(P.z, cube_size, gz) * gy
                + cube_coord(P.y, cube_size, gy)) * gx \
-            + cube_coord(P.x, cube_size, gx)
+            + cube_coord(P.x, cube_x, gx)
         return jnp.where(live, cid, n_cubes)
 
     def oob_of(P, live):
         bad = jnp.zeros_like(live)
-        for v, g in ((P.x, gx), (P.y, gy), (P.z, gz)):
-            c = jnp.floor(v / cube_size).astype(jnp.int32) + g // 2
+        for v, g, cs in ((P.x, gx, cube_x), (P.y, gy, cube_size),
+                         (P.z, gz, cube_size)):
+            c = jnp.floor(v / cs).astype(jnp.int32) + g // 2
             bad = bad | (c < 0) | (c >= g)
         return bad & live
 
@@ -560,7 +565,7 @@ def slot_to_stable(layout, tree, fill=0.0):
 
 
 def lattice_pairwise_resident(pw_int, pw_friction, layout, n, cube_size, *,
-                              grid_size, capacity, z_block):
+                              grid_size, capacity, z_block, x_split=1):
     """Pairwise sums in lattice layout.
 
     Lane-aligned formulation: fields are viewed as ``[gs_z, gs_y, gs_x*C]``
@@ -586,11 +591,11 @@ def lattice_pairwise_resident(pw_int, pw_friction, layout, n, cube_size, *,
     Ppid = padded(layout.pid, n_pad)
     return pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid,
                               cube_size, grid_size=gx, capacity=C,
-                              z_block=z_block)
+                              z_block=z_block, x_split=x_split)
 
 
 def pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid, cube_size, *,
-                       grid_size, capacity, z_block):
+                       grid_size, capacity, z_block, x_split=1):
     """Core shifted-slice pass over channels already carrying one halo
     plane on each z and y edge (``[gs_z + 2, gs_y + 2, gs_x * C]``).
 
@@ -600,10 +605,11 @@ def pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid, cube_size, *,
     Returns flat ``[gs_z * gs_y * gs_x * C]`` sums for the interior.
     """
     gs, C = grid_size, capacity      # gs = x cubes (lane-aligned axis)
+    xs_k = x_split                   # x-neighbour reach in (thin) cubes
     gz = Pocc.shape[0] - 2          # interior z planes (local slab extent)
     gy = Pocc.shape[1] - 2          # interior y rows
     W = gs * C                      # flat x-row width
-    PAD = 2 * C                     # x halo for shifts
+    PAD = (xs_k + 1) * C            # x halo for shifts
     n_slots = gz * gy * W
 
     def xpad(a, fill=0):
@@ -628,7 +634,8 @@ def pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid, cube_size, *,
     # iteration divides that traffic; full unrolling would blow up compile
     # time.
     UNROLL = 16
-    shifts = list(range(-(2 * C - 1), 2 * C))
+    smax = (xs_k + 1) * C - 1
+    shifts = list(range(-smax, smax + 1))
     combos = [(dz, dy, r) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
               for r in shifts]
     while len(combos) % UNROLL:
@@ -660,7 +667,7 @@ def pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid, cube_size, *,
                     a, (z0 + 1 + dz, 1 + dy, PAD + r), (zb, gy, W))
                 # x-cube offset of the partner slot, per lane (C-periodic)
                 dcube = (lane_c + r) // C
-                in_x = (dcube >= -1) & (dcube <= 1)
+                in_x = (dcube >= -xs_k) & (dcube <= xs_k)
                 Xj = jax.tree.map(jsl, P)
                 ovj = (jsl(Pov.x), jsl(Pov.y), jsl(Pov.z))
                 pair_mask = (occ_i & jsl(Pocc) & in_x[None, None, :]
@@ -695,14 +702,14 @@ def pairwise_on_padded(pw_int, pw_friction, P, Pov, Pocc, Ppid, cube_size, *,
 
 @partial(jax.jit,
          static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 14, 15, 16, 19, 20, 21,
-                         22, 23))
+                         22, 23, 24))
 def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                        grid_size, capacity, z_block,
                        X, old_v, n, dt, cube_size, fix_point,
                        precompute=None, pallas=False, gen=None,
                        gen_args=None, force_r_max=None,
                        extras_cap=0, extras_block_cap=16, rebin_m_cap=0,
-                       rebin_per_pass=False, route_movers=0.0):
+                       rebin_per_pass=False, route_movers=0.0, x_split=1):
     """``n_steps`` Heun steps with lattice-resident state.
 
     Same integration semantics as ``solvers.heun_steps`` (COM/point fixes,
@@ -743,6 +750,12 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
     """
     assert n_steps % rebuild_every == 0
     gs, C = grid_size, capacity
+    # thin x-cubes change what "out of stencil" means, and the resident
+    # gap-deficit certificate's 2-apart escape analysis is written for
+    # the isotropic 27-stencil -- x_split pairs with per-pass rebuild
+    # cadences (rebuild_every == 1), where no certificate is needed
+    assert x_split == 1 or rebuild_every == 1, \
+        "x_split > 1 requires rebuild_every == 1 (per-pass rebuilds)"
     if extras_cap:
         assert pallas, "overflow extras require the Pallas kernel"
         assert gen is None, \
@@ -756,7 +769,7 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
     # on-device (benchmarks/diag_planes_pass.py tracks the race)
     from .lattice_planes import planeify_layout, planes_supported
     plane_state = bool(pallas) and rebin_m_cap == 0 \
-        and planes_supported(gs, C) and PLANES_CHUNKS
+        and planes_supported(gs, C) and PLANES_CHUNKS and x_split == 1
 
     # mover routing (``route_movers`` > 0, a safety factor): cells whose
     # chunk-extrapolated old_v displacement could eat half the binning
@@ -778,7 +791,8 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
             rmask = (vmax * (dt * (rebuild_every * route_movers))
                      > 0.5 * margin)
         lay = lattice_build(Xc, ovc, n, cube_size, gs, C, extras_cap,
-                            pallas_pour=pallas, route_mask=rmask)
+                            pallas_pour=pallas, route_mask=rmask,
+                            x_split=x_split)
         return planeify_layout(lay, gs, C) if plane_state else lay
 
     def deriv(lay, T, n, E=None):
@@ -800,7 +814,8 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         else:
             pair_fn = lattice_pairwise_resident
         outs = pair_fn(pw_int, pw_friction, lay, n, cube_size,
-                       grid_size=gs, capacity=C, z_block=z_block)
+                       grid_size=gs, capacity=C, z_block=z_block,
+                       x_split=x_split)
         F, sum_f, sum_v, aux = outs[:4]
         from .common import apply_derived_aux
         aux = apply_derived_aux(pw_int, aux, sum_f)
@@ -1114,7 +1129,7 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         # a no-op pass)
         lay, dropped, oob, bad, unre = carry
         lay, un = lattice_rebin(lay, cube_size, gs, C, rebin_m_cap,
-                                extras_cap)
+                                extras_cap, x_split=x_split)
         unre = jnp.maximum(unre, un)
         dropped = jnp.maximum(dropped, lay.n_dropped)
         oob = jnp.maximum(oob, lay.n_oob)
@@ -1140,11 +1155,12 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         assert rebuild_every == 1, \
             "rebin_per_pass implies rebuild_every == 1"
         lay0 = lattice_build(X, old_v, n, cube_size, gs, C, extras_cap,
-                             pallas_pour=pallas)
+                             pallas_pour=pallas, x_split=x_split)
 
         def reb(lay, carry=None, carry_E=None):
             return lattice_rebin(lay, cube_size, gs, C, rebin_m_cap,
-                                 extras_cap, carry, carry_E)
+                                 extras_cap, carry, carry_E,
+                                 x_split=x_split)
 
         def halfdiff(x1, a, b):
             return x1 + (b - a) * (0.5 * dt)
@@ -1238,7 +1254,7 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
 
     if rebin_m_cap and rebuild_every >= 1:
         lay0 = lattice_build(X, old_v, n, cube_size, gs, C, extras_cap,
-                             pallas_pour=pallas)
+                             pallas_pour=pallas, x_split=x_split)
         carry0 = (lay0, lay0.n_dropped, lay0.n_oob, jnp.bool_(False),
                   zero)
         (lay, dropped, oob, bad, unre), auxs = jax.lax.scan(

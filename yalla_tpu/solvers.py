@@ -151,6 +151,14 @@ class LatticeEngine:
     # bound the slow bulk.  Placement heuristic only -- mispredictions are
     # still caught by ``__err_stale`` / the extras flags.
     route_movers: float = 0.0
+    # x_split > 1 bins x at ``cube_size / x_split`` (thin x-cubes): the
+    # per-cube capacity drops toward 1/x_split of the isotropic one while
+    # the kernel sweeps +-x_split x-neighbours -- total flat shifts go
+    # 4C - 1 -> 2(x_split + 1)C' - 1, ~1.35x fewer hot-loop iterations at
+    # C' = C/2 (the kernel-cost lever; BASELINE.md round-4).  Requires
+    # rebuild_every == 1 (per-pass rebuild/rebin: the staleness
+    # certificate is isotropic).  ``grid_size`` x then counts THIN cubes.
+    x_split: int = 1
 
     def __post_init__(self):
         # z_block must divide the grid's z extent (slab scan); shrink
@@ -170,7 +178,7 @@ class LatticeEngine:
         assert i_offset == 0 and i_size is None
         extras = self.extras_cap if self.pallas else 0
         lay = lattice_build(X, old_v, n, cube_size, self.grid_size,
-                            self.capacity, extras)
+                            self.capacity, extras, x_split=self.x_split)
         if self.pallas:
             from functools import partial as _partial
             fn = _partial(lattice_pairwise_pallas,
@@ -179,7 +187,7 @@ class LatticeEngine:
             fn = lattice_pairwise_resident
         outs = fn(pw_int, pw_friction, lay, n, cube_size,
                   grid_size=self.grid_size, capacity=self.capacity,
-                  z_block=self.z_block)
+                  z_block=self.z_block, x_split=self.x_split)
         F, sum_f, sum_v, aux = outs[:4]
         from .ops.lattice_xla import slot_to_stable
         back = lambda t: slot_to_stable(lay, t)
@@ -662,7 +670,7 @@ class Solution:
                 jnp.float32(self.cube_size), jnp.int32(self._fix_point),
                 precompute, e.pallas, gen_static, gen_args, rmax,
                 e.extras_cap, e.extras_block_cap, 0, False,
-                e.route_movers)
+                e.route_movers, e.x_split)
             if check_errors:
                 self._check_errors()
             return self.aux
@@ -713,7 +721,8 @@ class Solution:
             from .ops.lattice_xla import lattice_build
             lay = lattice_build(self.d_X, self.d_old_v, self.d_n,
                                 jnp.float32(self.cube_size),
-                                self.engine.grid_size, self.engine.capacity)
+                                self.engine.grid_size, self.engine.capacity,
+                                x_split=self.engine.x_split)
             dropped = int(lay.n_dropped)
             if dropped:
                 problems["lattice_capacity_dropped"] = dropped
