@@ -103,16 +103,18 @@ def _occ_cubes(X, n_cells, gs, cube):
     return uniq, counts
 
 
-def _extras_plan(X, n_cells, dims, cube, C, zb=2, yb=8):
+def _extras_plan(X, n_cells, dims, cube, C, zb=2, yb=8, x_split=1):
     """(n_extras_total, per_block_cap_needed) if the lattice ran at
     capacity ``C`` with overflow extras: mirrors the kernel's sidecar
     table assignment (an extra lands in every block overlapping its
     +-1-cube z/y neighbourhood, <= 4 blocks).  ``dims`` = (gx, gy, gz)
-    or an int for a cubic grid."""
+    or an int for a cubic grid.  ``x_split`` bins x at ``cube/x_split``
+    (thin x-cubes, see LatticeEngine.x_split)."""
     gx, gy, gz = (dims, dims, dims) if isinstance(dims, int) else dims
-    q = [np.clip(np.floor(np.asarray(a)[:n_cells] / cube).astype(np.int64)
+    q = [np.clip(np.floor(np.asarray(a)[:n_cells] / cs).astype(np.int64)
                  + g // 2, 0, g - 1)
-         for a, g in ((X.z, gz), (X.y, gy), (X.x, gx))]
+         for a, g, cs in ((X.z, gz, cube), (X.y, gy, cube),
+                          (X.x, gx, cube / x_split))]
     cid = (q[0] * gy + q[1]) * gx + q[2]
     uniq, counts = np.unique(cid, return_counts=True)
     over = counts - C
@@ -177,7 +179,7 @@ def _settle_sorting(X, old_v, n_cells, adhesion, dt, r_max):
 
 
 def _plan_lattice(X, n_cells, r_max, ms, pallas, zb=2, yb=16, e_scale=1,
-                  min_C=0):
+                  min_C=0, x_split=1):
     """Cost-optimal (cube multiple, (gx, gy, gz), C, extras) over
     candidate cube margins ``ms`` -- the kernel's lane work is
     ``gx*gy*gz * C * (9(4C-1) + 2.2 * extras_block_cap)``.  Only gx pays
@@ -205,12 +207,24 @@ def _plan_lattice(X, n_cells, r_max, ms, pallas, zb=2, yb=16, e_scale=1,
     best = None
     for m in ms:
         cube_m = r_max * m
-        occ_m, _ = _max_occ(X, n_cells, 96, cube_m)
+        if x_split == 1:
+            occ_m, _ = _max_occ(X, n_cells, 96, cube_m)
+        else:
+            # occupancy of the THIN x-cubes: roughly 1/x_split of the
+            # isotropic one -- the whole point of the split
+            qx = np.floor(np.asarray(X.x)[:n_cells]
+                          / (cube_m / x_split)).astype(np.int64)
+            qy = np.floor(np.asarray(X.y)[:n_cells] / cube_m).astype(
+                np.int64)
+            qz = np.floor(np.asarray(X.z)[:n_cells] / cube_m).astype(
+                np.int64)
+            cid = ((qz + 128) * 256 + (qy + 128)) * 256 + (qx + 128)
+            occ_m = int(np.unique(cid, return_counts=True)[1].max())
         gy_m, gz_m = lat_dim(ey, cube_m), lat_dim(ez, cube_m)
-        for C_m in (4, 6, 8, 10, 12, 16, 24):
-            if C_m < min_C:
+        for C_m in (2, 3, 4, 6, 8, 10, 12, 16, 24):
+            if C_m < min_C or (x_split == 1 and C_m < 4):
                 continue
-            gx_m = lattice_grid_for(ex, cube_m, C_m)
+            gx_m = lattice_grid_for(ex, cube_m / x_split, C_m)
             dims = (gx_m, gy_m, gz_m)
             if (gx_m * C_m) % 128:
                 continue
@@ -224,15 +238,16 @@ def _plan_lattice(X, n_cells, r_max, ms, pallas, zb=2, yb=16, e_scale=1,
                     continue
             else:
                 n_e, e_blk = _extras_plan(X, n_cells, dims, cube_m,
-                                          C_m, zb, yb)
+                                          C_m, zb, yb, x_split)
                 # headroom: 2x the measured per-block spill or +6, floor 8
                 # (times the caller's escalation on a flagged probe); the
                 # kernel sidecar costs ~2.2 force evals per table slot
                 e_b = -(-max(e_blk * 2, e_blk + 6, 8) * e_scale // 8) * 8
                 if (n_e + 64) * e_scale > E_CAP // 2 or e_b > E_B_MAX:
                     continue
-            cost = gx_m * gy_m * gz_m * C_m * (9 * (4 * C_m - 1)
-                                               + 2.2 * e_b)
+            # shift count 2(x_split + 1)C - 1 per (dz, dy) window
+            cost = gx_m * gy_m * gz_m * C_m * (
+                9 * (2 * (x_split + 1) * C_m - 1) + 2.2 * e_b)
             if best is None or cost < best[0]:
                 best = (cost, m, dims, C_m, occ_m, max(ex, ey, ez),
                         n_e, e_b)
@@ -325,22 +340,25 @@ def build(n_cells, seed=0):
     # C^2 lane saving against the per-block sidecar work.
     zb, yb = 2, 16
 
-    def make_run(ms, e_scale=1, min_C=0):
+    def make_run(ms, e_scale=1, min_C=0, x_split=1):
         """Cost-optimal run over candidate cube margins ``ms``; callable
         again with a measured-closure-sized margin (see measure()'s
         certification ladder), an escalated extras headroom (``e_scale``,
         when a probe overflows the sidecar), or a raised capacity floor
-        (``min_C``, when a probe drops cells even with extras)."""
+        (``min_C``, when a probe drops cells even with extras).
+        ``x_split=2`` plans thin x-cubes (half the capacity, ~1.35x fewer
+        kernel shifts) -- per-pass cadences only."""
         best = _plan_lattice(X, n_cells, p.r_max, ms, pallas, zb, yb,
-                             e_scale, min_C)
+                             e_scale, min_C, x_split)
         if best is None:
             return None
         _, m, gs, C, max_occ, extent, n_e, e_b = best
         cube = p.r_max * m
         extras_cap = E_CAP if e_b else 0
         print(f"# bench config: n={n_cells} extent={extent:.1f} "
-              f"max_occ={max_occ} (cube x{m}) -> gs={gs} C={C} "
-              f"extras={n_e} (block cap {e_b})", file=sys.stderr)
+              f"max_occ={max_occ} (cube x{m}, x_split={x_split}) -> "
+              f"gs={gs} C={C} extras={n_e} (block cap {e_b})",
+              file=sys.stderr)
 
         def run(n_steps, rebuild=REBUILD_EVERY, cube_mult=1.0,
                 rebin=False, rebin_scale=1):
@@ -369,17 +387,21 @@ def build(n_cells, seed=0):
                 jnp.float32(cube * cube_mult), jnp.int32(0),
                 polarity_precompute, pallas, None, None,
                 jnp.float32(p.r_max), extras_cap, max(e_b, 8), m_cap,
-                rebin == "pass", route)
+                rebin == "pass", route, x_split)
 
         run.config = {"gs": list(gs), "C": int(C),
                       "max_occ": int(max_occ), "cube": float(cube),
                       "extras": int(n_e), "extras_block_cap": int(e_b)}
+        if x_split > 1:
+            run.config["x_split"] = int(x_split)
         run.remake = make_run
-        run.remake_extras = lambda s, m=m: make_run((m,), e_scale=s)
-        run.remake_cap = lambda m=m, C=C: make_run((m,), e_scale=2,
-                                                   min_C=C + 1)
+        run.remake_extras = lambda s, m=m, xs=x_split: make_run(
+            (m,), e_scale=s, x_split=xs)
+        run.remake_cap = lambda m=m, C=C, xs=x_split: make_run(
+            (m,), e_scale=2, min_C=C + 1, x_split=xs)
         run.r_max = float(p.r_max)
         run.supports_rebin = True
+        run.x_split = x_split
         return run
 
     return make_run((1.1, 1.2, 1.3) if REBUILD_EVERY > 1
@@ -761,6 +783,21 @@ def measure(n_cells, n_steps, seed=0, builder=None):
         # certificate, no margin -- always in the race, both at the
         # resident plan's cube and at the margin-free cube 1.0 plan
         probe_time_track(run0, 1, rebin="pass")
+        if getattr(run0, "x_split", None) is not None:
+            # thin-x-cube plan (x_split=2: ~half the capacity, ~1.35x
+            # fewer kernel shifts) -- valid at per-pass cadences only,
+            # raced at the margin-free cube both with and without the
+            # slot-space rebin.  An exception here (e.g. a Mosaic
+            # lowering corner on the split shift geometry) must not
+            # erase rungs already certified -- fail-soft per contender.
+            try:
+                xsr = run0.remake((1.0, 1.1), x_split=2)
+                if xsr is not None:
+                    probe_time_track(xsr, 1, rebin="pass")
+                    probe_time_track(xsr, 1)
+            except Exception as e:
+                print(f"# x_split contender failed: "
+                      f"{type(e).__name__}: {e}"[:300], file=sys.stderr)
         base = run0.remake((1.0,))
         if base is not None and base.config != run0.config:
             probe_time_track(base, 1, rebin="pass")
