@@ -75,7 +75,7 @@ def test_xsplit_extras_matches_tile():
     tile = Solution(Float3, n, solver="tile")
     n_pad = tile.n_pad
     pos = rng.uniform(-1, 1, (n_pad, 3)).astype(np.float32) * [4.0, 2.0, 1.5]
-    # 6 cells inside one half-cube (x width 0.5) > capacity 3
+    # 6 cells inside one half-cube (x width 0.5) > capacity 4
     pos[:6] = [0.2, 0.2, 0.2] + rng.uniform(0, 0.24, (6, 3)).astype(
         np.float32)
     tile.h_X.x[:], tile.h_X.y[:], tile.h_X.z[:] = pos.T
@@ -99,6 +99,53 @@ def test_xsplit_extras_matches_tile():
         ref = getattr(ht, f)[:n]
         assert np.allclose(got, ref, atol=2e-5), \
             f"x_split extras path differs in {f}"
+
+
+def test_xsplit_capacity2_matches_tile():
+    """C=2 half-cubes (the smallest capacity the bench planner admits for
+    x_split plans, bench.py planner C rungs): lane arithmetic at tiny C is
+    a distinct kernel corner (slot index = lane % C wraps every 2 lanes).
+    Pallas leg: random ball, overflow extras absorb every over-full
+    half-cube.  XLA leg (no extras sidecar): jittered grid IC at spacing
+    (0.9, 1.1, 1.1), so every half-cube holds exactly one point by
+    construction (x half-cubes are 0.5 wide < 0.9 spacing; y/z cubes are
+    1.0 wide < 1.1 - jitter spacing) while x-neighbour pairs still
+    interact inside the 1.0 cutoff -- exercising the split +-2x stencil."""
+    n = 400
+    pos, X0, ov0 = _ball(512, seed=13, scale=(6.0, 3.0, 3.0))
+    ht = _tile_oracle(pos, n, 4, 0.05)
+    X, ov, aux = lattice_heun_steps(
+        4, 1, relu_force, friction_w_neighbour, "com", (64, 8, 8),
+        2, 2, X0, ov0, jnp.int32(n), jnp.float32(0.05),
+        jnp.float32(1.0), jnp.int32(0), None, True, None, None,
+        jnp.float32(1.0), 1024, 32, 0, False, 0.0, 2)
+    _assert_clean(aux)
+    for f in ("x", "y", "z"):
+        got = np.asarray(getattr(X, f))[:n]
+        ref = np.asarray(getattr(ht, f))[:n]
+        assert np.allclose(got, ref, atol=2e-5), \
+            f"x_split C=2 (pallas) differs in {f}"
+
+    # XLA leg: grid IC, max half-cube occupancy <= 2
+    rng = np.random.default_rng(17)
+    g = np.stack(np.meshgrid(np.arange(8), np.arange(8), np.arange(8),
+                             indexing="ij"), -1).reshape(-1, 3)[:512]
+    posg = ((g - 4) * [0.9, 1.1, 1.1]
+            + rng.uniform(-0.04, 0.04, (512, 3))).astype(np.float32)
+    htg = _tile_oracle(posg, n, 4, 0.05)
+    Xg = Float3(x=jnp.asarray(posg[:, 0]), y=jnp.asarray(posg[:, 1]),
+                z=jnp.asarray(posg[:, 2]))
+    X, ov, aux = lattice_heun_steps(
+        4, 1, relu_force, friction_w_neighbour, "com", (64, 16, 16),
+        2, 2, Xg, Float3.zeros(512), jnp.int32(n), jnp.float32(0.05),
+        jnp.float32(1.0), jnp.int32(0), None, False, None, None,
+        jnp.float32(1.0), 0, 16, 0, False, 0.0, 2)
+    _assert_clean(aux)
+    for f in ("x", "y", "z"):
+        got = np.asarray(getattr(X, f))[:n]
+        ref = np.asarray(getattr(htg, f))[:n]
+        assert np.allclose(got, ref, atol=2e-5), \
+            f"x_split C=2 (XLA) differs in {f}"
 
 
 def test_xsplit_rebin_per_pass_matches_tile():

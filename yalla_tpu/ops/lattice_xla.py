@@ -752,10 +752,18 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
     gs, C = grid_size, capacity
     # thin x-cubes change what "out of stencil" means, and the resident
     # gap-deficit certificate's 2-apart escape analysis is written for
-    # the isotropic 27-stencil -- x_split pairs with per-pass rebuild
-    # cadences (rebuild_every == 1), where no certificate is needed
-    assert x_split == 1 or rebuild_every == 1, \
-        "x_split > 1 requires rebuild_every == 1 (per-pass rebuilds)"
+    # the isotropic 27-stencil -- x_split pairs with cadences that
+    # re-derive the binning before EVERY pairwise pass and therefore need
+    # no certificate: plain per-pass rebuilds (rebuild_every == 1,
+    # rebin_m_cap == 0) or per-PASS slot-space rebinning
+    # (rebin_per_pass).  The per-STEP rebin path (rebuild_every == 1,
+    # rebin_m_cap > 0, rebin_per_pass=False) still runs run_chunk's
+    # isotropic staleness certificate on the corrector pass, so it is
+    # excluded too (its extrema scatter also assumes full-width x-cubes).
+    assert x_split == 1 or (rebuild_every == 1
+                            and (rebin_m_cap == 0 or rebin_per_pass)), \
+        ("x_split > 1 requires per-pass-exact binning: rebuild_every == 1 "
+         "with rebin_m_cap == 0 (plain rebuilds) or rebin_per_pass")
     if extras_cap:
         assert pallas, "overflow extras require the Pallas kernel"
         assert gen is None, \
