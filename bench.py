@@ -22,13 +22,34 @@ reference-exact rebuild cadence.
 The CUDA reference publishes no numbers (BASELINE.md); ``vs_baseline`` is
 reported against an assumed 1e8 cell-steps/s for the reference's
 single-GPU grid solver at this size -- the BASELINE.json target of
->= 10x CUDA corresponds to vs_baseline >= 10.  The JSON line also carries
-the 5k-cell metric (BASELINE.json asks for both sizes) under "extra".
+>= 10x CUDA corresponds to vs_baseline >= 10.  Because that constant is
+an admitted fiction (BASELINE.md estimates the real reference at 1-3e7
+from its arithmetic), the JSON "extra" carries BOTH ratios:
+``vs_assumed_1e8`` and ``vs_estimated_cuda`` (the [vs 3e7, vs 1e7]
+range).  It also carries the 5k-cell metric (BASELINE.json asks for
+both sizes).
+
+Driver-clock discipline (the round-4 lesson: three rounds of rc=124
+with zero parsed output):
+
+* **Emit-first**: the JSON line prints the moment the FIRST rung
+  certifies and again after every better rung -- the driver parses the
+  last JSON line, so a later timeout can never erase a measured result.
+* **Budget-aware**: ``BENCH_BUDGET_S`` (env, default 2100 s) is a
+  wall-clock budget checked before every probe; when exhausted, racing
+  stops and the best certified rung stands.
+* **Winner-first**: the last certified winner per metric is persisted in
+  ``bench_state.json`` (committed) and raced FIRST on re-runs; the
+  settled tissue states are cached in ``.bench_cache/*.npz`` (committed)
+  so re-runs skip the ~12 settle phases entirely
+  (``BENCH_REFRESH=1`` forces a re-settle).
 
 Usage: python bench.py [n_cells] [n_steps]
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Prints JSON lines: {"metric", "value", "unit", "vs_baseline", "extra"};
+the LAST line is the final (superset) result.
 """
 import json
+import os
 import sys
 import time
 
@@ -37,8 +58,96 @@ import jax.numpy as jnp
 import numpy as np
 
 CUDA_BASELINE_CELL_STEPS_PER_SEC = 1e8  # assumed; see module docstring
+CUDA_ESTIMATED_RANGE = (1e7, 3e7)       # BASELINE.md arithmetic estimate
 REBUILD_EVERY = 4
 RELAX_STEPS = 48
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE_DIR = os.path.join(_REPO, ".bench_cache")
+BENCH_STATE_PATH = os.path.join(_REPO, "bench_state.json")
+# bump when the settle recipe / IC / force physics changes: a cached
+# settled state is only valid for the regime it was settled under
+SETTLE_VER = 1
+_REFRESH = os.environ.get("BENCH_REFRESH", "") not in ("", "0")
+
+_DEADLINE = None  # monotonic deadline set by main(); None = no budget
+
+
+def _expired(reserve=0.0):
+    """True when the wall-clock budget is exhausted (minus ``reserve``
+    seconds the caller wants to keep for later phases)."""
+    return _DEADLINE is not None and time.monotonic() > _DEADLINE - reserve
+
+
+def _time_left():
+    return float("inf") if _DEADLINE is None \
+        else _DEADLINE - time.monotonic()
+
+
+def _settled_path(tag, n_cells, seed):
+    return os.path.join(
+        CACHE_DIR, f"settled_{tag}_{n_cells}_s{seed}_v{SETTLE_VER}.npz")
+
+
+def _save_settled(tag, n_cells, seed, X, old_v):
+    """Persist a settled (X, old_v) pytree so re-runs (and the driver's
+    end-of-round run) skip the settle phases -- the single biggest cost
+    of a cold bench run (~12 x 48 tunnel-dispatched steps at 500k)."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    data = {"__cell_fields": np.array(list(type(X)._fields))}
+    for fld in type(X)._fields:
+        data["X_" + fld] = np.asarray(getattr(X, fld))
+    for fld in type(old_v)._fields:
+        data["V_" + fld] = np.asarray(getattr(old_v, fld))
+    path = _settled_path(tag, n_cells, seed)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **data)
+    os.replace(tmp, path)
+    print(f"# settled state cached: {os.path.relpath(path, _REPO)} "
+          f"({os.path.getsize(path) // 1024} KiB)", file=sys.stderr)
+
+
+def _load_settled(tag, n_cells, seed, cell_cls):
+    """Restore a cached settled state, or None.  The pytree layout must
+    match the caller's Cell class exactly (field-name check)."""
+    from yalla_tpu.dtypes import Float3
+    path = _settled_path(tag, n_cells, seed)
+    if _REFRESH or not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as d:
+            if list(d["__cell_fields"]) != list(cell_cls._fields):
+                print(f"# settled cache {path}: field mismatch, ignoring",
+                      file=sys.stderr)
+                return None
+            X = cell_cls(**{f: jnp.asarray(d["X_" + f])
+                            for f in cell_cls._fields})
+            old_v = Float3(**{f: jnp.asarray(d["V_" + f])
+                              for f in Float3._fields})
+    except Exception as e:  # corrupt cache must never kill the bench
+        print(f"# settled cache unreadable ({e}); re-settling",
+              file=sys.stderr)
+        return None
+    print(f"# settled state loaded from cache: "
+          f"{os.path.relpath(path, _REPO)}", file=sys.stderr)
+    return X, old_v
+
+
+def _load_bench_state():
+    try:
+        with open(BENCH_STATE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_bench_state(state):
+    tmp = BENCH_STATE_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=1, sort_keys=True)
+        f.write("\n")
+    os.replace(tmp, BENCH_STATE_PATH)
 
 
 def _ic(n_cells, n_pad, seed=0):
@@ -178,6 +287,21 @@ def _settle_sorting(X, old_v, n_cells, adhesion, dt, r_max):
     return X, jax.tree.map(jnp.zeros_like, old_v)
 
 
+def _settle_sorting_cached(X, old_v, n_cells, adhesion, dt, r_max, seed):
+    """Cache wrapper around ``_settle_sorting``: the three 5k builders
+    (lattice / tile / MXU) share the IC recipe but pad to different
+    shapes, so the cache key carries n_pad."""
+    cell_cls, n_pad = type(X), int(X.x.shape[0])
+    tag = f"sorting_p{n_pad}"
+    cached = _load_settled(tag, n_cells, seed, cell_cls)
+    if cached is not None:
+        return cached
+    X, old_v = _settle_sorting_cached(X, old_v, n_cells, adhesion, dt,
+                                      r_max, seed)
+    _save_settled(tag, n_cells, seed, X, old_v)
+    return X, old_v
+
+
 def _plan_lattice(X, n_cells, r_max, ms, pallas, zb=2, yb=16, e_scale=1,
                   min_C=0, x_split=1):
     """Cost-optimal (cube multiple, (gx, gy, gz), C, extras) over
@@ -268,12 +392,15 @@ def _prepare_branching(n_cells, seed=0):
 
     n_pad = -(-n_cells // 4096) * 4096 if n_cells > 4096 else \
         max(64, -(-n_cells // 64) * 64)
-    X = _ic(n_cells, n_pad, seed)
-    old_v = Float3.zeros(n_pad)
     p = B.Params()
     force = B.make_force(p)
     n = jnp.int32(n_cells)
     pallas = jax.default_backend() == "tpu"
+    cached = _load_settled("branching", n_cells, seed, B.Cell)
+    if cached is not None and int(cached[0].x.shape[0]) == n_pad:
+        return cached[0], cached[1], p, force, n, pallas
+    X = _ic(n_cells, n_pad, seed)
+    old_v = Float3.zeros(n_pad)
 
     # relax to mechanical equilibrium with the plain relu band (exactly the
     # reference's relaxed-IC recipe, inits.cuh:95-155), then pick the
@@ -321,6 +448,7 @@ def _prepare_branching(n_cells, seed=0):
         if prev_e is not None and abs(n_e - prev_e) <= max(20, prev_e // 20):
             break
         prev_e = n_e
+    _save_settled("branching", n_cells, seed, X, old_v)
     return X, old_v, p, force, n, pallas
 
 
@@ -402,6 +530,9 @@ def build(n_cells, seed=0):
         run.r_max = float(p.r_max)
         run.supports_rebin = True
         run.x_split = x_split
+        run.plan_cost = float(best[0])
+        run.spec = {"ms": [float(m)], "e_scale": int(e_scale),
+                    "min_C": int(min_C), "x_split": int(x_split)}
         return run
 
     return make_run((1.1, 1.2, 1.3) if REBUILD_EVERY > 1
@@ -454,7 +585,8 @@ def build_sorting(n_cells, seed=0):
         zero = jnp.zeros_like(dist)
         return Cell(x=r.x * w, y=r.y * w, z=r.z * w, ctype=zero)
 
-    X, old_v = _settle_sorting(X, old_v, n_cells, adhesion, dt, r_max)
+    X, old_v = _settle_sorting_cached(X, old_v, n_cells, adhesion, dt,
+                                      r_max, seed)
     zb, yb = 2, 16
 
     def make_run(ms, e_scale=1, min_C=0):
@@ -500,6 +632,9 @@ def build_sorting(n_cells, seed=0):
                                                    min_C=C + 1)
         run.r_max = float(r_max)
         run.supports_rebin = True
+        run.plan_cost = float(best[0])
+        run.spec = {"ms": [float(m)], "e_scale": int(e_scale),
+                    "min_C": int(min_C)}
         return run
 
     # cube 1.0 stays in the candidate set even at rebuild_every > 1: the
@@ -554,7 +689,8 @@ def build_sorting_tile(n_cells, seed=0):
         zero = jnp.zeros_like(dist)
         return Cell(x=r.x * w, y=r.y * w, z=r.z * w, ctype=zero)
 
-    X, old_v = _settle_sorting(X, old_v, n_cells, adhesion, dt, r_max)
+    X, old_v = _settle_sorting_cached(X, old_v, n_cells, adhesion, dt,
+                                      r_max, seed)
 
     engine = TileEngine(pallas=jax.default_backend() == "tpu")
     print(f"# bench config (sorting 5k-class, N^2 tile kernel): "
@@ -620,7 +756,8 @@ def build_sorting_mxu(n_cells, seed=0):
             lambda X: (1.0 + 2.0 * X.ctype, 1.0 + 2.0 * X.ctype))},
         name="sorting_adhesion_central")
 
-    X, old_v = _settle_sorting(X, old_v, n_cells, adhesion, dt, r_max)
+    X, old_v = _settle_sorting_cached(X, old_v, n_cells, adhesion, dt,
+                                      r_max, seed)
 
     engine = TileEngine(mxu=True)
     print(f"# bench config (sorting 5k-class, MXU central kernel): "
@@ -654,7 +791,16 @@ def _extras_only_flags(aux):
                                      "__err_lattice_dropped"}
 
 
-def measure(n_cells, n_steps, seed=0, builder=None):
+def measure(n_cells, n_steps, seed=0, builder=None, on_certify=None,
+            winner_spec=None):
+    """Race certified rungs; return (best_rate, best_cfg, best_spec).
+
+    ``on_certify(rate, cfg, spec)`` fires every time a rung certifies
+    that beats the current best -- the caller emits the provisional JSON
+    line there, so a later rung's crash or the driver's clock can never
+    erase a measured result.  ``winner_spec`` (from bench_state.json)
+    re-builds and races the last certified winner FIRST.  Every probe
+    respects the module wall-clock budget (``_expired``)."""
     run0 = (builder or build)(n_cells, seed)
 
     # The staleness certifier (__err_stale) may reject the default
@@ -677,10 +823,38 @@ def measure(n_cells, n_steps, seed=0, builder=None):
     # certifies is simply not in the race -- measure() raises only when
     # NOTHING certified at all.
     records = []   # {"rate", "cfg", "run", "rebuild", "cm", "rebin"}
+    raced = {}     # (config, rebuild, cm, rebin, scale) -> result memo
+
+    def _winner_spec(rec):
+        """Reconstruction recipe for a certified rung: enough for a
+        future run to remake + race it first (bench_state.json)."""
+        run = rec["run"]
+        spec = dict(getattr(run, "spec", {}) or {})
+        if spec and getattr(run, "r_max", None):
+            spec["ms"] = [round(rec["cfg"]["cube"] / run.r_max, 6)]
+        spec["rebuild"] = int(rec["rebuild"])
+        spec["rebin"] = rec["rebin"] if isinstance(rec["rebin"], str) \
+            else bool(rec["rebin"])
+        return spec
 
     def probe_and_time(run, rebuild, cm=1.0, rebin=False, rebin_scale=1):
         """Probe once; if flag-clean, time the same program and record.
-        Returns None on success, else the flagged aux dict."""
+        Returns None on success, else the flagged aux dict.  Budget- and
+        memo-guarded: an exhausted wall clock skips the rung (marker
+        aux), an already-raced identical rung returns its prior result."""
+        key = (json.dumps(run.config, sort_keys=True), rebuild, cm,
+               str(rebin), rebin_scale)
+        if key in raced:
+            return raced[key]
+        if _expired():
+            print(f"# budget exhausted ({_time_left():.0f} s left); "
+                  f"skipping rung (rebuild={rebuild}, rebin={rebin}, "
+                  f"{run.config})", file=sys.stderr)
+            return {"__budget_expired": np.float32(1.0)}
+        raced[key] = _probe_and_time(run, rebuild, cm, rebin, rebin_scale)
+        return raced[key]
+
+    def _probe_and_time(run, rebuild, cm, rebin, rebin_scale):
         kw = {"rebin": rebin} if rebin else {}
         if rebin and rebin_scale > 1:
             kw["rebin_scale"] = rebin_scale
@@ -722,8 +896,13 @@ def measure(n_cells, n_steps, seed=0, builder=None):
         cfg["rebin"] = rebin if isinstance(rebin, str) else bool(rebin)
         if rebin and rebin_scale > 1:
             cfg["rebin_scale"] = rebin_scale
-        records.append({"rate": rate, "cfg": cfg, "run": run,
-                        "rebuild": rebuild, "cm": cm, "rebin": rebin})
+        rec = {"rate": rate, "cfg": cfg, "run": run,
+               "rebuild": rebuild, "cm": cm, "rebin": rebin}
+        records.append(rec)
+        if on_certify is not None and rate >= max(r["rate"]
+                                                  for r in records):
+            # emit-first: the caller prints the provisional JSON line NOW
+            on_certify(rate, dict(cfg), _winner_spec(rec))
         return None
 
     rebuild0 = getattr(run0, "start_rebuild", REBUILD_EVERY)
@@ -777,39 +956,77 @@ def measure(n_cells, n_steps, seed=0, builder=None):
                     aux = aux2
         return aux
 
-    aux = probe_time_track(run0, rebuild0)
-    if can_rebin:
-        # reference-exact per-PASS slot-space rebinning: no staleness
-        # certificate, no margin -- always in the race, both at the
-        # resident plan's cube and at the margin-free cube 1.0 plan
+    # ---- rung order is RECORD-first (round-4 lesson: the driver's clock
+    # ran out while exploration rungs raced ahead of the known winner).
+    # 1. the persisted winner from bench_state.json, raced verbatim
+    if winner_spec and hasattr(run0, "remake"):
+        w = None
+        try:
+            kw = {k: winner_spec[k] for k in ("e_scale", "min_C")
+                  if winner_spec.get(k)}
+            if winner_spec.get("x_split", 1) > 1:
+                kw["x_split"] = int(winner_spec["x_split"])
+            w = run0.remake(tuple(winner_spec.get("ms", ())), **kw)
+        except Exception as e:
+            print(f"# stored winner rebuild failed: "
+                  f"{type(e).__name__}: {e}"[:300], file=sys.stderr)
+        if w is not None:
+            probe_time_track(w, int(winner_spec.get("rebuild", 1)),
+                             rebin=winner_spec.get("rebin", False))
+
+    # 2. known-strong per-pass families (no staleness certificate, no
+    # margin): the margin-free cube-1.0 rebuild plan (the round-4 500k
+    # winner), the cost-optimal plan, and their slot-space rebin variants
+    aux = None
+    base = None
+    if can_rebin and hasattr(run0, "remake"):
+        base = run0.remake((1.0,))
+        if base is not None:
+            probe_time_track(base, 1)
+        if rebuild0 == 1:
+            probe_time_track(run0, 1)
         probe_time_track(run0, 1, rebin="pass")
-        if getattr(run0, "x_split", None) is not None:
-            # thin-x-cube plan (x_split=2: ~half the capacity, ~1.35x
-            # fewer kernel shifts) -- valid at per-pass cadences only,
-            # raced at the margin-free cube both with and without the
-            # slot-space rebin.  An exception here (e.g. a Mosaic
-            # lowering corner on the split shift geometry) must not
-            # erase rungs already certified -- fail-soft per contender.
+        if base is not None and not _expired():
+            probe_time_track(base, 1, rebin="pass")
+        # 3. thin-x-cube contender, gated on its OWN cost model: the win
+        # exists only when the half-cube capacity actually halves
+        # (ROADMAP 6 / diag_xsplit) -- otherwise the shift counts tie
+        # and the probe burns budget on an uncertifiable rung (the
+        # round-4 fatal mistake).  Fail-soft per contender.
+        if getattr(run0, "x_split", None) is not None and not _expired():
+            xsr = None
             try:
                 xsr = run0.remake((1.0, 1.1), x_split=2)
-                if xsr is not None:
-                    probe_time_track(xsr, 1, rebin="pass")
-                    probe_time_track(xsr, 1)
             except Exception as e:
                 print(f"# x_split contender failed: "
                       f"{type(e).__name__}: {e}"[:300], file=sys.stderr)
-        base = run0.remake((1.0,))
-        if base is not None and base.config != run0.config:
-            probe_time_track(base, 1, rebin="pass")
-            if aux is not None:
-                # the resident cadence is dead anyway (stale flag), so
-                # rebuild-per-pass is the mode to beat -- race it at the
-                # margin-free plan too: cube 1.0 needs no staleness
-                # margin and its lower capacity cuts the pass lane-work
-                # ~(C0 (4 C0 - 1)) / (C1 (4 C1 - 1)) (round-4: C=8
-                # extras vs C=10 was the 500k winner)
-                probe_time_track(base, 1)
-    if aux is not None:
+            iso = base if base is not None else run0
+            if xsr is None:
+                pass
+            elif (xsr.config["C"] > iso.config["C"] // 2 + 1
+                    or xsr.plan_cost >= 0.88 * iso.plan_cost):
+                print(f"# x_split=2 skipped by cost model: "
+                      f"C'={xsr.config['C']} vs C={iso.config['C']}, "
+                      f"modelled lane-cost ratio "
+                      f"{xsr.plan_cost / iso.plan_cost:.2f} (need < 0.88 "
+                      f"and C' <= C/2 + 1)", file=sys.stderr)
+            else:
+                try:
+                    probe_time_track(xsr, 1)
+                    if not _expired():
+                        probe_time_track(xsr, 1, rebin="pass")
+                except Exception as e:
+                    print(f"# x_split rung failed: "
+                          f"{type(e).__name__}: {e}"[:300], file=sys.stderr)
+        # 4. resident-cadence exploration, only once the per-pass record
+        # is already in hand
+        if rebuild0 > 1 and not _expired():
+            aux = probe_time_track(run0, rebuild0)
+    elif rebuild0 > 1:
+        aux = probe_time_track(run0, rebuild0)
+    else:
+        probe_time_track(run0, rebuild0)
+    if aux is not None and "__budget_expired" not in aux:
         closure = float(aux.get("stale_shear_closure", np.nan))
         print(f"# flags at rebuild_every={rebuild0} "
               f"(closure {closure:.3f}); racing certified alternatives",
@@ -886,16 +1103,16 @@ def measure(n_cells, n_steps, seed=0, builder=None):
     print(f"# measured {n_cells}: {best['rate']:.4g} cell-steps/s "
           f"(best of {len(records)} certified: {best['cfg']})",
           file=sys.stderr)
-    return best["rate"], best["cfg"]
+    return best["rate"], best["cfg"], _winner_spec(best)
 
 
-def _measure_retry(n_cells, n_steps, tries=3, builder=None):
+def _measure_retry(n_cells, n_steps, tries=3, builder=None, **kw):
     """The tunnelled TPU worker occasionally restarts between heavy jobs
     ('worker crashed or restarted' on valid programs, see ROADMAP.md);
     retry with a pause before giving up."""
     for attempt in range(tries):
         try:
-            return measure(n_cells, n_steps, builder=builder)
+            return measure(n_cells, n_steps, builder=builder, **kw)
         except jax.errors.JaxRuntimeError as e:
             if "UNAVAILABLE" not in str(e) or attempt == tries - 1:
                 raise
@@ -906,23 +1123,36 @@ def _measure_retry(n_cells, n_steps, tries=3, builder=None):
 
 def _emit(n_cells, rate, extra):
     """One JSON result line on stdout.  Called PROVISIONALLY the moment
-    the headline rung certifies and again (final, superset) at exit: the
-    driver parses the last JSON line, so a later rung's crash -- round 3
-    lost its 500k number to a 5k capacity assert -- can never erase an
-    already-measured result."""
+    the headline rung certifies and again after every improvement and at
+    exit (final, superset): the driver parses the last JSON line, so a
+    later rung's crash or the driver's own clock can never erase an
+    already-measured result.  ``vs_baseline`` keeps the assumed-1e8
+    convention for cross-round comparability; "extra" carries BOTH the
+    assumed and the BASELINE.md-estimated CUDA ratios."""
+    ex = dict(extra)
+    if rate is not None:
+        ex["vs_assumed_1e8"] = round(rate / 1e8, 4)
+        lo, hi = CUDA_ESTIMATED_RANGE
+        ex["vs_estimated_cuda"] = [round(rate / hi, 3), round(rate / lo, 3)]
     print(json.dumps({
         "metric": f"cell_steps_per_sec_branching_{n_cells // 1000}k",
         "value": round(rate, 1) if rate is not None else None,
         "unit": "cell-steps/s",
         "vs_baseline": round(rate / CUDA_BASELINE_CELL_STEPS_PER_SEC, 3)
         if rate is not None else None,
-        "extra": extra,
+        "extra": ex,
     }), flush=True)
 
 
 def main():
+    global _DEADLINE
     n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2100"))
+    if budget > 0:
+        _DEADLINE = time.monotonic() + budget
+        print(f"# wall-clock budget: {budget:.0f} s "
+              f"(BENCH_BUDGET_S; <= 0 disables)", file=sys.stderr)
     # persistent compile cache: tunnel compiles are minutes-long and this
     # benchmark's program shapes are stable across runs
     try:
@@ -932,11 +1162,29 @@ def main():
         pass
 
     import traceback
+    bench_state = _load_bench_state()
+    head_key = f"branching_{n_cells}"
     rate, extra = None, {}
+
+    def on_certify(r, cfg, spec):
+        """Provisional emit + winner persistence on every improvement."""
+        nonlocal rate
+        if rate is None or r > rate:
+            rate = r
+            extra["config"] = cfg
+            bench_state[head_key] = {"rate": round(r, 1), "spec": spec,
+                                     "cfg": cfg}
+            try:
+                _save_bench_state(bench_state)
+            except Exception:
+                pass
+            _emit(n_cells, rate, extra)
+
     try:
-        rate, config = _measure_retry(n_cells, n_steps)
-        extra["config"] = config
-        _emit(n_cells, rate, extra)  # provisional: headline is now safe
+        r, config, spec = _measure_retry(
+            n_cells, n_steps, on_certify=on_certify,
+            winner_spec=(bench_state.get(head_key) or {}).get("spec"))
+        on_certify(r, config, spec)
     except Exception as e:
         traceback.print_exc(file=sys.stderr)
         extra["error"] = f"{type(e).__name__}: {e}"[:300]
@@ -946,25 +1194,51 @@ def main():
         # lattice) and report the better -- both run the identical
         # sorting-class physics on the identical relaxed IC (the generic
         # N^2 tile kernel, build_sorting_tile, measured strictly slower
-        # than both: BASELINE.md).  Each contender fails independently.
+        # than both: BASELINE.md).  Each contender fails independently,
+        # the stored 5k winner builder races first, and the runner-up is
+        # skipped when the budget is nearly spent.
         # 320 steps: at 5k cells a step is ~1 ms of device work, so the
         # per-dispatch tunnel overhead (~30-60 ms) would otherwise be
         # ~half of a 40-step measurement; the reference's own sorting.cu
         # runs 300 steps.  320 keeps every cadence rung (4/8/16) exact.
+        builders = {"build_sorting_mxu": build_sorting_mxu,
+                    "build_sorting": build_sorting}
+        won_5k = (bench_state.get("sorting_5000") or {}).get("builder")
+        order = sorted(builders, key=lambda k: k != won_5k)
         best = None
-        for b in (build_sorting_mxu, build_sorting):
+        for i, name in enumerate(order):
+            if i > 0 and best is not None and _expired(reserve=60):
+                print(f"# budget: skipping 5k runner-up {name}",
+                      file=sys.stderr)
+                break
+            b = builders[name]
+            spec5 = (bench_state.get("sorting_5000") or {}).get("spec") \
+                if name == won_5k else None
+
+            def on5(r5, c5, s5, name=name):
+                nonlocal best
+                if best is None or r5 > best[0]:
+                    best = (r5, c5)
+                    extra["cell_steps_per_sec_5k"] = round(r5, 1)
+                    extra["config_5k"] = c5
+                    bench_state["sorting_5000"] = {
+                        "rate": round(r5, 1), "builder": name, "spec": s5,
+                        "cfg": c5}
+                    try:
+                        _save_bench_state(bench_state)
+                    except Exception:
+                        pass
+                    _emit(n_cells, rate, extra)
+
             try:
-                r5, c5 = _measure_retry(5_000, max(n_steps, 320), builder=b)
+                r5, c5, s5 = _measure_retry(5_000, max(n_steps, 320),
+                                            builder=b, on_certify=on5,
+                                            winner_spec=spec5)
+                on5(r5, c5, s5)
             except Exception as e:
                 traceback.print_exc(file=sys.stderr)
                 extra.setdefault("errors_5k", []).append(
-                    f"{b.__name__}: {type(e).__name__}: {e}"[:300])
-                continue
-            if best is None or r5 > best[0]:
-                best = (r5, c5)
-        if best is not None:
-            extra["cell_steps_per_sec_5k"] = round(best[0], 1)
-            extra["config_5k"] = best[1]
+                    f"{name}: {type(e).__name__}: {e}"[:300])
     _emit(n_cells, rate, extra)
     if rate is None:
         sys.exit(1)

@@ -52,12 +52,6 @@ SLOW_TESTS = {
     # test_extras.py
     "test_extras_match_full_capacity_branching",          # 85-128 s
     "test_extras_match_full_capacity_relu",               # 33 s
-    # test_planes.py
-    "test_preplaned_chunks_match_default",                # 123 s
-    "test_planes_matches_oracle_r1",                      # 115 s
-    "test_planes_extras_match_flat_kernel",               # 96 s
-    "test_planes_matches_oracle_r2_aniso",                # 86 s
-    "test_planes_matches_oracle_p4",                      # 51 s
     # test_physics_stats.py
     "test_turing_pattern_emerges",                        # 107 s
     "test_branching_engines_agree",                       # 89 s

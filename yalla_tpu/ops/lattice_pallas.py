@@ -192,8 +192,7 @@ DEFAULT_Y_BLOCK = 16
 def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
                             grid_size, capacity, z_block, y_block=None,
                             extras_block_cap=16, grid_z=None, n_pad=None,
-                            z_halo=None, planes=None, pre_planed=False,
-                            x_split=1):
+                            z_halo=None, x_split=1):
     """Pairwise sums in lattice layout on the TPU VPU (see module docs).
 
     Returns (F (dF-typed tree), sum_friction, sum_v 3-tuple, aux dict),
@@ -226,25 +225,6 @@ def lattice_pairwise_pallas(pw_int, pw_friction, layout, n, cube_size, *,
     sentinel when no ``slot_of`` is at hand (inside shard_map).
     """
     from .common import grid_dims
-    from .lattice_planes import lattice_pairwise_planes, planes_supported
-    if planes is None:
-        # auto: the per-pass operand transposes make non-pre_planed
-        # planes a net LOSS (~36 ms/pass at 500k) -- only dispatch when
-        # the caller keeps its state in planes order (lattice_heun_steps
-        # does); the z-slab sharded path stays on the flat kernel
-        planes = (pre_planed and planes_supported(grid_size, capacity)
-                  and x_split == 1)
-    assert planes or not pre_planed
-    if planes:
-        assert x_split == 1, "planes layout does not support x_split"
-        # slot-plane layout: ~25% fewer lane-evals and 3P rolls instead
-        # of 4C - 1 per block (lattice_planes module docs)
-        return lattice_pairwise_planes(
-            pw_int, pw_friction, layout, n, cube_size,
-            grid_size=grid_size, capacity=capacity, z_block=z_block,
-            y_block=y_block, extras_block_cap=extras_block_cap,
-            grid_z=grid_z, n_pad=n_pad, z_halo=z_halo,
-            pre_planed=pre_planed)
     gx, gy, gz_full = grid_dims(grid_size)
     C = capacity
     gz = grid_z if grid_z is not None else gz_full

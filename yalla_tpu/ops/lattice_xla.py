@@ -57,12 +57,6 @@ def pick_lattice_dims(pos_max, cube_size, max_occ):
             best = (cost, gs, C)
     return best[1], best[2]
 
-# keep resident chunks in slot-plane order and run the planes kernel
-# (lattice_planes).  Off by default: the planes kernel measures ~1.5x the
-# flat kernel's pass time on v5e despite 25% fewer lane-evals
-# (benchmarks/diag_planes_pass.py); flip when the kernel wins.
-PLANES_CHUNKS = False
-
 _OFFSETS = [(dz, dy, dx)
             for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
@@ -769,15 +763,6 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         assert gen is None, \
             "generic forces do not compose with overflow extras yet"
     occ_of = lambda lay: lay.pid < lay.slot_of.shape[0]
-    # slot-plane chunks: keep the resident state in planes linear order so
-    # the Pallas kernel's operands are pure reshapes -- one state
-    # transpose per REBUILD instead of ~30 channel transposes per pass
-    # (lattice_planes module docs; rebin stays in cube-rank order).
-    # Gated by PLANES_CHUNKS until the planes kernel beats the flat one
-    # on-device (benchmarks/diag_planes_pass.py tracks the race)
-    from .lattice_planes import planeify_layout, planes_supported
-    plane_state = bool(pallas) and rebin_m_cap == 0 \
-        and planes_supported(gs, C) and PLANES_CHUNKS and x_split == 1
 
     # mover routing (``route_movers`` > 0, a safety factor): cells whose
     # chunk-extrapolated old_v displacement could eat half the binning
@@ -798,10 +783,9 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
             margin = cube_size - force_r_max
             rmask = (vmax * (dt * (rebuild_every * route_movers))
                      > 0.5 * margin)
-        lay = lattice_build(Xc, ovc, n, cube_size, gs, C, extras_cap,
-                            pallas_pour=pallas, route_mask=rmask,
-                            x_split=x_split)
-        return planeify_layout(lay, gs, C) if plane_state else lay
+        return lattice_build(Xc, ovc, n, cube_size, gs, C, extras_cap,
+                             pallas_pour=pallas, route_mask=rmask,
+                             x_split=x_split)
 
     def deriv(lay, T, n, E=None):
         """Derivative in slot space; when overflow extras are enabled the
@@ -817,8 +801,7 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         if pallas:
             from .lattice_pallas import lattice_pairwise_pallas
             pair_fn = partial(lattice_pairwise_pallas,
-                              extras_block_cap=extras_block_cap,
-                              pre_planed=plane_state)
+                              extras_block_cap=extras_block_cap)
         else:
             pair_fn = lattice_pairwise_resident
         outs = pair_fn(pw_int, pw_friction, lay, n, cube_size,
@@ -978,15 +961,9 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         track = force_r_max is not None
 
         def cube_red(arr, fill, red):
-            """Per-cube reduction over the slot axis, in whichever slot
-            order the chunk runs (cube-rank flat, or planes linear:
-            [R, gz*gy, P, gx] with the cube's slots split over the R and
-            P axes -- both reduce to the same z-major cube-id order)."""
+            """Per-cube reduction over the slot axis (cube-rank flat
+            slot order: [n_cubes, C])."""
             v = jnp.where(occ, arr, fill)
-            if plane_state:
-                Pk = 128 // gdx
-                return red(v.reshape(C // Pk, gdz * gdy, Pk, gdx),
-                           axis=(0, 2)).reshape(n_cubes)
             return red(v.reshape(n_cubes, C), axis=1)
 
         def state_deficit(T_at, E_at):
