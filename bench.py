@@ -388,7 +388,7 @@ def _prepare_branching(n_cells, seed=0):
     from yalla_tpu.ops.common import friction_w_neighbour
     from yalla_tpu.ops.lattice_xla import (lattice_grid_for,
                                            lattice_heun_steps)
-    from yalla_tpu.polarity import polarity_precompute
+    from yalla_tpu.polarity import polarity_precompute3 as polarity_precompute
 
     n_pad = -(-n_cells // 4096) * 4096 if n_cells > 4096 else \
         max(64, -(-n_cells // 64) * 64)
@@ -455,7 +455,7 @@ def _prepare_branching(n_cells, seed=0):
 def build(n_cells, seed=0):
     from yalla_tpu.ops.common import friction_w_neighbour
     from yalla_tpu.ops.lattice_xla import lattice_heun_steps
-    from yalla_tpu.polarity import polarity_precompute
+    from yalla_tpu.polarity import polarity_precompute3 as polarity_precompute
 
     X, old_v, p, force, n, pallas = _prepare_branching(n_cells, seed)
 

@@ -52,6 +52,10 @@ SLOW_TESTS = {
     # test_extras.py
     "test_extras_match_full_capacity_branching",          # 85-128 s
     "test_extras_match_full_capacity_relu",               # 33 s
+    "test_mover_routing_certifies_resident_cadence",      # 28 s
+    # test_xsplit.py
+    "test_xsplit_capacity2_matches_tile",                 # 99 s
+    "test_xsplit_rebin_per_pass_matches_tile",            # 16 s
     # test_physics_stats.py
     "test_turing_pattern_emerges",                        # 107 s
     "test_branching_engines_agree",                       # 89 s

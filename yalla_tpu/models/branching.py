@@ -28,10 +28,18 @@ import jax.numpy as jnp
 
 from ..dtypes import make_pt
 from ..growth import Lineage, lineage_init, proliferate, record_divisions
-from ..polarity import bending_force_fast, polarity_precompute
+from ..polarity import (bending_force_cart, bending_post_pair,
+                        polarity_precompute, polarity_precompute3)
 from ..solvers import GridEngine, friction_w_neighbour, heun_step
 
 Cell = make_pt("BranchingCell", "theta", "phi", "u", "v", "ctype")
+
+# The pair body reads only the polarity UNIT VECTOR (bending_force_cart
+# leaves the angular gradient Cartesian; the trig conversion runs once
+# per cell in force.post_pair), so the compact 3-channel precompute is
+# the model's hook everywhere.  ``polarity_precompute`` stays importable
+# for forces on the per-pair trig path (bending_force_fast).
+precompute = polarity_precompute3
 
 MESENCHYME, EPITHELIUM = 0.0, 1.0
 
@@ -124,18 +132,20 @@ def make_force(p: Params):
             du = du + jnp.where(react, du_r, 0.0)
             dv = dv + jnp.where(react, dv_r, 0.0)
 
-        # Epithelial bending stiffness (branching.cu:100); Cartesian fast
-        # path on the precomputed per-cell polarity trig, sharing inv
-        bend = bending_force_fast(Xi, r, dist, inv=inv)
+        # Epithelial bending stiffness (branching.cu:100); Cartesian form
+        # sharing inv: the angular gradient accumulates as the raw vector
+        # sum G = sum(-prodi * r_hat) in three aux channels, converted to
+        # (theta, phi) once per CELL in force.post_pair -- exact algebra
+        # (the spherical-basis contraction is linear in r_hat and commutes
+        # with the pair sum), no per-pair trig channels in the hot loop
+        bx, by, bz, gx, gy, gz = bending_force_cart(Xi, r, dist, inv=inv)
         bw = jnp.where(epi_pair, 0.2, 0.0)
-        fx = fx + bend.x * bw
-        fy = fy + bend.y * bw
-        fz = fz + bend.z * bw
-        dth = bend.theta * bw
-        dph = bend.phi * bw
+        fx = fx + bx * bw
+        fy = fy + by * bw
+        fz = fz + bz * bw
 
         zero = jnp.zeros_like(dist)
-        dF = Cell(x=fx, y=fy, z=fz, theta=dth, phi=dph, u=du, v=dv,
+        dF = Cell(x=fx, y=fy, z=fz, theta=zero, phi=zero, u=du, v=dv,
                   ctype=zero)
         Xj_epi = Xi.ctype - r.ctype
         # only the epithelial count rides the hot loop when the friction
@@ -145,6 +155,7 @@ def make_force(p: Params):
         # dist < 1, ref solvers.cuh:27-35 / branching.cu:82)
         aux = {
             "epi_nbs": jnp.where(near & (Xj_epi == EPITHELIUM), 1.0, 0.0),
+            "pg_x": gx * bw, "pg_y": gy * bw, "pg_z": gz * bw,
         }
         if p.r_max != 1.0:
             aux["mes_nbs"] = jnp.where(near & (Xj_epi == MESENCHYME),
@@ -155,6 +166,7 @@ def make_force(p: Params):
         return body(Xi, r, dist, i, j, True)
 
     force.offdiag = lambda Xi, r, dist, i, j: body(Xi, r, dist, i, j, False)
+    force.post_pair = bending_post_pair
     if p.r_max == 1.0:
         force.derive_aux = {
             "mes_nbs": lambda aux, sum_f: sum_f - aux["epi_nbs"]}
@@ -321,7 +333,7 @@ def init_state(n_0, n_max, p: Params = Params(), engine: GridEngine = None,
     # Mesenchymal-neighbour counting pre-pass (take_step with dt = 0,
     # branching.cu:241-242)
     force = make_force(p)
-    aux = cells.take_step(0.0, force, precompute=polarity_precompute)
+    aux = cells.take_step(0.0, force, precompute=precompute)
     mes_nbs = np.asarray(aux["mes_nbs"])
 
     # Surface cells (few mesenchymal neighbours) become epithelium with
@@ -373,7 +385,7 @@ def make_frame(p: Params, engine: GridEngine, substeps=11):
             X, old_v, aux = heun_step(
                 engine, force, friction_w_neighbour, None, "com",
                 X, old_v, n, jnp.float32(p.dt), jnp.float32(p.r_max),
-                jnp.int32(0), None, polarity_precompute)
+                jnp.int32(0), None, precompute)
             errs = {k: v for k, v in aux.items() if k.startswith("__err_")}
             errs["__err_cells_lost"] = info.n_lost.astype(jnp.float32)
             return ((X, old_v, n, lin, aux["epi_nbs"], aux["mes_nbs"]),

@@ -29,6 +29,7 @@ __all__ = [
     "friction_on_background",
     "evaluate_pairs",
     "apply_derived_aux",
+    "apply_post_pair",
     "mask_tree",
     "cube_coord",
     "cube_ids",
@@ -152,6 +153,24 @@ def apply_derived_aux(pw_int, aux, sum_f):
     for k, fn in der.items():
         out[k] = fn(aux, sum_f)
     return out
+
+
+def apply_post_pair(pw_int, F, aux, X):
+    """Per-cell transform applied AFTER the pair reduction.
+
+    A force may declare ``pw_int.post_pair = fn(F, aux, X) -> (F, aux)``
+    to move per-pair arithmetic that is LINEAR in some per-pair vector
+    out of the hot loop: the pairs accumulate the raw vector sum as aux
+    channels and the per-cell (nonlinear, e.g. trig) conversion runs once
+    per point here -- see ``polarity.bending_post_pair``.  ``X`` is the
+    per-point state in the engine's own layout (augmented type; garbage
+    rows in empty lattice slots are fine, downstream occupancy masking
+    discards them).  Called by every engine path right after
+    ``apply_derived_aux``."""
+    pp = getattr(pw_int, "post_pair", None)
+    if pp is None:
+        return F, aux
+    return pp(F, aux, X)
 
 
 def evaluate_pairs(pw_int, pw_friction, Xi, Xj, old_v_j, i, j, pair_mask,

@@ -808,8 +808,9 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
                        grid_size=gs, capacity=C, z_block=z_block,
                        x_split=x_split)
         F, sum_f, sum_v, aux = outs[:4]
-        from .common import apply_derived_aux
+        from .common import apply_derived_aux, apply_post_pair
         aux = apply_derived_aux(pw_int, aux, sum_f)
+        F, aux = apply_post_pair(pw_int, F, aux, lay.T)
         F = truncate_aug(F, orig_type)
         if gen is not None:
             ok = lay.slot_of < lay.pid.shape[0]
@@ -839,6 +840,7 @@ def lattice_heun_steps(n_steps, rebuild_every, pw_int, pw_friction, fix_mode,
         if E is not None:
             Fe, sum_fe, sum_ve, aux_e = outs[4]
             aux_e = apply_derived_aux(pw_int, aux_e, sum_fe)
+            Fe, aux_e = apply_post_pair(pw_int, Fe, aux_e, lay.E)
             Fe = truncate_aug(Fe, orig_type)
             elive = lay.epid < lay.slot_of.shape[0]
             dXe = mask_tree(mix(Fe, sum_fe, sum_ve), elive)

@@ -294,8 +294,9 @@ def lattice_sharded_heun_steps(mesh, n_steps, rebuild_every,
                 F, sum_f, sum_v, aux = pairwise_on_padded(
                     pw_int, pw_friction, Pp, Pov, Pocc, Ppid, cube_size,
                     grid_size=gs, capacity=C, z_block=z_block)
-            from ..ops.common import apply_derived_aux
+            from ..ops.common import apply_derived_aux, apply_post_pair
             aux = apply_derived_aux(pw_int, aux, sum_f)
+            F, aux = apply_post_pair(pw_int, F, aux, Taug)
             F = truncate_aug(F, type(T))
             if gen is not None:
                 F = gen_hook(T, F)

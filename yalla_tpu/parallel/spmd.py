@@ -72,11 +72,18 @@ def make_sharded_step(mesh, engine, pw_int, *,
 
         def deriv(X_full, old_v_full):
             from ..solvers import augment, truncate_aug
+            Xa_full = augment(X_full, n, precompute)
             F, sum_f, sum_v, aux = engine.pairwise(
-                pw_int, pw_friction, augment(X_full, n, precompute),
+                pw_int, pw_friction, Xa_full,
                 old_v_full, n, cube_size, i_offset=offset, i_size=size)
-            from ..ops.common import apply_derived_aux
+            from ..ops.common import apply_derived_aux, apply_post_pair
             aux = apply_derived_aux(pw_int, aux, sum_f)
+            # per-cell post transform on the local i-rows of the
+            # (gathered, full) augmented state
+            F, aux = apply_post_pair(
+                pw_int, F, aux, jax.tree.map(
+                    lambda a: jax.lax.dynamic_slice_in_dim(a, offset, size),
+                    Xa_full))
             # in-loop failure flags: reduce engine __err_* channels to
             # scalars and psum-max over the ring (the ERR_PREFIX contract,
             # ops/common.py; the single-chip path raises on these)

@@ -30,7 +30,7 @@ __all__ = [
     "orthonormal", "migration_force",
     "polarity_precompute", "polarity_precompute3",
     "bending_force_fast", "apical_constriction_force_fast",
-    "migration_force_fast",
+    "migration_force_fast", "bending_force_cart", "bending_post_pair",
 ]
 
 DEFAULT_AXIS = ("theta", "phi")
@@ -270,6 +270,70 @@ def bending_force_fast(Xi, r, dist, axis=DEFAULT_AXIS, p="p", inv=None):
     dF = pt_zeros_like(Xi)
     return dF.replace(x=fx, y=fy, z=fz,
                       **{axis[0]: -prodi * d_theta, axis[1]: -prodi * d_phi})
+
+
+def bending_force_cart(Xi, r, dist, p="p", inv=None):
+    """``bending_force_fast`` with the angular gradient left in CARTESIAN
+    form -- the hot-loop shape for the lattice kernels.
+
+    Returns ``(fx, fy, fz, gx, gy, gz)``: the positional force and the
+    pair's contribution to ``G_i = sum_j (-prod_i) * r_hat`` .  The caller
+    accumulates g as aux channels and converts once per cell after the
+    pair pass (``bending_post_pair``): both theta- and phi-gradients of
+    the bending potential are LINEAR in r_hat (polarity.cuh:72-94 via the
+    spherical basis e_theta / e_phi), so the basis contraction commutes
+    with the pair sum -- identical physics up to f32 reassociation.
+
+    vs ``bending_force_fast`` this drops the four per-point trig channels
+    (pcf/psf/pst/psg -- use the compact ``polarity_precompute3``) and ~4
+    VPU ops per candidate lane; the per-cell conversion does the trig
+    once per point instead of carrying it through the pair pass.
+    """
+    pxi, pyi, pzi = (getattr(Xi, p + f) for f in ("x", "y", "z"))
+    rpx = getattr(r, p + "x")
+    rpy = getattr(r, p + "y")
+    rpz = getattr(r, p + "z")
+    if inv is None:
+        inv = 1.0 / dist
+    prodi = (pxi * r.x + pyi * r.y + pzi * r.z) * inv
+    prodj = prodi - (rpx * r.x + rpy * r.y + rpz * r.z) * inv
+    ai = prodi * inv
+    aj = prodj * inv
+    s1 = ai + aj
+    s2 = ai * ai + aj * aj
+    fx = s2 * r.x - s1 * pxi + aj * rpx
+    fy = s2 * r.y - s1 * pyi + aj * rpy
+    fz = s2 * r.z - s1 * pzi + aj * rpz
+    t = -prodi * inv
+    return fx, fy, fz, t * r.x, t * r.y, t * r.z
+
+
+def bending_post_pair(F, aux, X, axis=DEFAULT_AXIS,
+                      keys=("pg_x", "pg_y", "pg_z")):
+    """Per-cell conversion of the accumulated Cartesian angular gradient
+    ``G = (aux[pg_x], aux[pg_y], aux[pg_z])`` (from ``bending_force_cart``)
+    into the spherical (theta, phi) force components, added onto F:
+
+        F_theta = e_theta . G           e_theta = (ct cf, ct sf, -st)
+        F_phi   = (e_phi . G) / sin t   e_phi   = (-sf, cf, 0)
+
+    with the reference's |sin theta| > 1e-10 gimbal guard as a zero
+    (polarity.cuh:56-58).  Consumes the three aux channels.  Use as (or
+    inside) a force's ``post_pair`` hook; every engine applies it after
+    the pair reduction with its own per-point layout.
+    """
+    aux = dict(aux)
+    Gx, Gy, Gz = (aux.pop(k) for k in keys)
+    th = getattr(X, axis[0])
+    ph = getattr(X, axis[1])
+    ct, st = jnp.cos(th), jnp.sin(th)
+    cf, sf = jnp.cos(ph), jnp.sin(ph)
+    safe = jnp.abs(st) > 1e-10
+    inv_st = jnp.where(safe, 1.0 / jnp.where(safe, st, 1.0), 0.0)
+    dth = ct * (cf * Gx + sf * Gy) - st * Gz
+    dph = (cf * Gy - sf * Gx) * inv_st
+    return (F.replace(**{axis[0]: getattr(F, axis[0]) + dth,
+                         axis[1]: getattr(F, axis[1]) + dph}), aux)
 
 
 def apical_constriction_force_fast(Xi, r, dist, pref_angle,

@@ -368,10 +368,12 @@ def truncate_aug(F, orig_type):
 def _deriv(engine, pw_int, pw_friction, gen, fix_mode, precompute,
            X, old_v, n, cube_size, fix_point, gen_args):
     active = jnp.arange(X.x.shape[0], dtype=jnp.int32) < n
+    Xa = augment(X, n, precompute)
     F, sum_f, sum_v, aux = engine.pairwise(
-        pw_int, pw_friction, augment(X, n, precompute), old_v, n, cube_size)
-    from .ops.common import apply_derived_aux
+        pw_int, pw_friction, Xa, old_v, n, cube_size)
+    from .ops.common import apply_derived_aux, apply_post_pair
     aux = apply_derived_aux(pw_int, aux, sum_f)
+    F, aux = apply_post_pair(pw_int, F, aux, Xa)
     # engine failure flags reduce to scalars (cheap to carry through scans)
     aux = {k: (jnp.max(v) if k.startswith(ERR_PREFIX) else v)
            for k, v in aux.items()}
