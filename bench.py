@@ -71,11 +71,18 @@ SETTLE_VER = 1
 _REFRESH = os.environ.get("BENCH_REFRESH", "") not in ("", "0")
 
 _DEADLINE = None  # monotonic deadline set by main(); None = no budget
+# extra seconds measure()'s probes must leave on the clock -- main() sets
+# this during the headline 500k phase so the exploration ladder cannot
+# starve the 5k races of their budget
+_RESERVE_S = 0.0
 
 
-def _expired(reserve=0.0):
+def _expired(reserve=None):
     """True when the wall-clock budget is exhausted (minus ``reserve``
-    seconds the caller wants to keep for later phases)."""
+    seconds the caller wants to keep for later phases; defaults to the
+    module phase reserve)."""
+    if reserve is None:
+        reserve = _RESERVE_S
     return _DEADLINE is not None and time.monotonic() > _DEADLINE - reserve
 
 
@@ -1180,6 +1187,9 @@ def main():
                 pass
             _emit(n_cells, rate, extra)
 
+    global _RESERVE_S
+    if n_cells >= 100_000:
+        _RESERVE_S = 600.0  # keep the 5k races alive behind the ladder
     try:
         r, config, spec = _measure_retry(
             n_cells, n_steps, on_certify=on_certify,
@@ -1188,6 +1198,7 @@ def main():
     except Exception as e:
         traceback.print_exc(file=sys.stderr)
         extra["error"] = f"{type(e).__name__}: {e}"[:300]
+    _RESERVE_S = 0.0
     if n_cells >= 100_000:
         # the second BASELINE.json size: 5k cells (all on one chip).
         # Race the two small-N engines (MXU central all-pairs vs dense
