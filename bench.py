@@ -303,8 +303,7 @@ def _settle_sorting_cached(X, old_v, n_cells, adhesion, dt, r_max, seed):
     cached = _load_settled(tag, n_cells, seed, cell_cls)
     if cached is not None:
         return cached
-    X, old_v = _settle_sorting_cached(X, old_v, n_cells, adhesion, dt,
-                                      r_max, seed)
+    X, old_v = _settle_sorting(X, old_v, n_cells, adhesion, dt, r_max)
     _save_settled(tag, n_cells, seed, X, old_v)
     return X, old_v
 
