@@ -798,7 +798,7 @@ def _extras_only_flags(aux):
 
 
 def measure(n_cells, n_steps, seed=0, builder=None, on_certify=None,
-            winner_spec=None):
+            winner_spec=None, winner_rate=None):
     """Race certified rungs; return (best_rate, best_cfg, best_spec).
 
     ``on_certify(rate, cfg, spec)`` fires every time a rung certifies
@@ -806,7 +806,16 @@ def measure(n_cells, n_steps, seed=0, builder=None, on_certify=None,
     line there, so a later rung's crash or the driver's clock can never
     erase a measured result.  ``winner_spec`` (from bench_state.json)
     re-builds and races the last certified winner FIRST.  Every probe
-    respects the module wall-clock budget (``_expired``)."""
+    respects the module wall-clock budget (``_expired``).
+
+    CONFIRM-ONLY re-runs: when the stored winner reproduces its stored
+    ``winner_rate`` (>= 95%), the exploration ladder is SKIPPED entirely
+    unless ``BENCH_EXPLORE=1``.  Exploration is the builder's interactive
+    job; a driver/CI re-run only has to witness the known winner plus the
+    5k metric, and every extra rung it races risks the documented TPU
+    worker wedge (a flagged probe can hang the tunnel 10-30 min,
+    ROADMAP.md) with no possible upside beyond noise."""
+    explore = os.environ.get("BENCH_EXPLORE", "") not in ("", "0")
     run0 = (builder or build)(n_cells, seed)
 
     # The staleness certifier (__err_stale) may reject the default
@@ -980,12 +989,25 @@ def measure(n_cells, n_steps, seed=0, builder=None, on_certify=None,
             probe_time_track(w, int(winner_spec.get("rebuild", 1)),
                              rebin=winner_spec.get("rebin", False))
 
+    # confirm-only fast path: stored winner reproduced -> don't explore
+    skip_explore = False
+    if records and winner_rate and not explore:
+        got = max(r["rate"] for r in records)
+        if got >= 0.95 * float(winner_rate):
+            skip_explore = True
+            print(f"# stored winner reproduced ({got:.4g} vs stored "
+                  f"{float(winner_rate):.4g} cell-steps/s); skipping the "
+                  f"exploration ladder (BENCH_EXPLORE=1 races all rungs)",
+                  file=sys.stderr)
+
     # 2. known-strong per-pass families (no staleness certificate, no
     # margin): the margin-free cube-1.0 rebuild plan (the round-4 500k
     # winner), the cost-optimal plan, and their slot-space rebin variants
     aux = None
     base = None
-    if can_rebin and hasattr(run0, "remake"):
+    if skip_explore:
+        pass
+    elif can_rebin and hasattr(run0, "remake"):
         base = run0.remake((1.0,))
         if base is not None:
             probe_time_track(base, 1)
@@ -1080,7 +1102,7 @@ def measure(n_cells, n_steps, seed=0, builder=None, on_certify=None,
             # reference-exact rebuild-per-pass at the cost-optimal cube
             # (solvers.cuh:494): no staleness possible, margin irrelevant
             probe_time_track(run0, 1)
-    if records:
+    if records and not skip_explore:
         best = max(records, key=lambda r: r["rate"])
         if can_rebin and not best["rebin"]:
             # rebin variant of the best certified rung: certification
@@ -1192,7 +1214,8 @@ def main():
     try:
         r, config, spec = _measure_retry(
             n_cells, n_steps, on_certify=on_certify,
-            winner_spec=(bench_state.get(head_key) or {}).get("spec"))
+            winner_spec=(bench_state.get(head_key) or {}).get("spec"),
+            winner_rate=(bench_state.get(head_key) or {}).get("rate"))
         on_certify(r, config, spec)
     except Exception as e:
         traceback.print_exc(file=sys.stderr)
@@ -1216,9 +1239,19 @@ def main():
         won_5k = (bench_state.get("sorting_5000") or {}).get("builder")
         order = sorted(builders, key=lambda k: k != won_5k)
         best = None
+        explore5 = os.environ.get("BENCH_EXPLORE", "") not in ("", "0")
+        stored5 = (bench_state.get("sorting_5000") or {}).get("rate")
         for i, name in enumerate(order):
             if i > 0 and best is not None and _expired(reserve=60):
                 print(f"# budget: skipping 5k runner-up {name}",
+                      file=sys.stderr)
+                break
+            if (i > 0 and best is not None and not explore5 and stored5
+                    and best[0] >= 0.95 * float(stored5)):
+                # confirm-only: the stored 5k winner reproduced; the
+                # runner-up engine is already measured slower on record
+                print(f"# stored 5k winner reproduced; skipping "
+                      f"runner-up {name} (BENCH_EXPLORE=1 races it)",
                       file=sys.stderr)
                 break
             b = builders[name]
@@ -1241,9 +1274,12 @@ def main():
                     _emit(n_cells, rate, extra)
 
             try:
+                rate5 = (bench_state.get("sorting_5000") or {}).get("rate") \
+                    if name == won_5k else None
                 r5, c5, s5 = _measure_retry(5_000, max(n_steps, 320),
                                             builder=b, on_certify=on5,
-                                            winner_spec=spec5)
+                                            winner_spec=spec5,
+                                            winner_rate=rate5)
                 on5(r5, c5, s5)
             except Exception as e:
                 traceback.print_exc(file=sys.stderr)

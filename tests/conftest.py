@@ -56,6 +56,13 @@ SLOW_TESTS = {
     # test_xsplit.py
     "test_xsplit_capacity2_matches_tile",                 # 99 s
     "test_xsplit_rebin_per_pass_matches_tile",            # 16 s
+    "test_xsplit_matches_tile",                           # 16 s
+    "test_xsplit_extras_matches_tile",                    # 15 s
+    # test_growth.py (fast tier keeps the proliferation oracles;
+    # the resize drill spins 4 engine recompiles)
+    "test_frame_error_flags_and_engine_resize",           # 13 s
+    # test_aniso.py (fast tier keeps aniso rebin flags + extras oracle)
+    "test_lattice_aniso_matches_tile",                    # 11 s
     # test_physics_stats.py
     "test_turing_pattern_emerges",                        # 107 s
     "test_branching_engines_agree",                       # 89 s
