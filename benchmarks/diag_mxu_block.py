@@ -27,6 +27,15 @@ the committed settled 500k state instead of arguing: correctness vs the
 flat XLA pass, then a ms/pass table (BASELINE.md records the outcome).
 
 Run on the TPU host:  python benchmarks/diag_mxu_block.py [n_cells]
+
+OUTCOME (round 5, measured on the settled 500k state, one v5e chip):
+CLOSED -- 408.9 ms/pass vs the flat Pallas kernel's 54.0 (7.57x loss),
+with ~3e2 force error from the |xi|^2+|xj|^2-2xi.xj cancellation at
+tissue coordinates (|x|~30).  The contraction depth is K=3 coordinates,
+so the MXU runs <3% utilized while the superset is 4.6x the flat
+kernel's candidate lanes; centering would fix the precision only by
+re-adding the VPU work the MXU was supposed to absorb.  See BASELINE.md
+"Lattice-block MXU pair pass CLOSED".
 """
 import os
 import sys
