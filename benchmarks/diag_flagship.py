@@ -1,10 +1,24 @@
 """Split the flagship frame cost: heun vs proliferate/lineage vs host I/O.
 
-The recorded flagship run (500 frames, final n=157k) showed a ~2.5-3
-s/frame floor independent of live n and a marginal slope ~5x worse than
-the bench kernel.  This measures where each frame goes, at the seed
-state (n=500) and at a late-run population, with the exact engine the
-flagship uses (models.branching.default_engine sized for n_max=500k).
+The round-4 flagship run (500 frames, final n=157k) showed a ~2.5-3
+s/frame floor independent of live n -- measured BEFORE capacity-tier
+scheduling landed (every frame paid the 500k-padded engine).  This
+measures where each frame goes under the tier-scheduled loop the
+example actually runs now: at the seed state on its own tier and at a
+late-run population on the final tier.
+
+Round-5 measurement (one v5e chip via tunnel, tiers 4096 / 262144):
+
+  [n=500 seed]  frame 129.6 ms | prolif-only(11)  76.8 ms
+  [n=150000]    frame 858.9 ms | prolif-only(11) 104.3 ms
+  write 6 arrays/frame: 720 ms sync / 966 ms via the async worker
+  (pull+format with no compute to hide behind), errs readback 9 ms
+
+i.e. the floor was the un-tiered engine, not dispatch or I/O: late
+frames are ~0.86 s of device compute (= the kernel-rate prediction for
+11 substeps at this tier) + a ~0.7-1.0 s host transfer+write that the
+async worker overlaps with the next frame's compute.  Expected cadence
+at 150k is therefore ~1 s/frame; BASELINE.md records the end-to-end run.
 
 Usage: python benchmarks/diag_flagship.py [n_max] [n_late]
 """
@@ -37,13 +51,47 @@ def timeit(fn, *args, reps=3, warm=1, **kw):
     return min(ts)
 
 
+def _late_state(n_late, tier, p, engine):
+    """Late-run population on the final tier WITHOUT a 150k relaxation
+    (the relaxed_sphere path at this size is minutes of device work and
+    has crashed the tunnel worker): take the innermost ``n_late`` cells
+    of the committed settled 500k bench state (a compact ball in the
+    same force regime) and pad to the tier."""
+    from bench import _load_settled
+    from yalla_tpu.dtypes import Float3
+    from yalla_tpu.growth import lineage_init
+    from yalla_tpu.solvers import Solution
+
+    cached = _load_settled("branching", 500_000, 0, B.Cell)
+    assert cached is not None, "run bench.py once to build the cache"
+    Xc, _ = cached
+    h = {f: np.asarray(getattr(Xc, f)) for f in B.Cell._fields}
+    rr = h["x"] ** 2 + h["y"] ** 2 + h["z"] ** 2
+    rr[500_000:] = np.inf
+    keep = np.argsort(rr)[:n_late]
+    cells = Solution(B.Cell, tier, engine=engine, cube_size=p.r_max)
+    n_pad = cells.n_pad
+    arrs = {f: np.zeros(n_pad, np.float32) for f in B.Cell._fields}
+    for f in B.Cell._fields:
+        arrs[f][:n_late] = h[f][keep]
+    X = B.Cell(**{f: jnp.asarray(a) for f, a in arrs.items()})
+    return B.State(X=X, old_v=Float3.zeros(n_pad), n=jnp.int32(n_late),
+                   lineage=lineage_init(2 * n_pad, n_pad, n_late),
+                   epi_nbs=jnp.zeros(n_pad), mes_nbs=jnp.zeros(n_pad),
+                   key=jax.random.PRNGKey(7)), cells
+
+
 def main():
     n_max = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     n_late = int(sys.argv[2]) if len(sys.argv) > 2 else 150_000
     p = B.Params()
+    # mirror the tier-scheduled flagship loop (examples/branching.py):
+    # the seed runs on the SMALLEST sufficient tier, not the 500k engine
+    tier0 = B.next_tier(500, n_max)
     t0 = time.perf_counter()
-    state, cells, engine = B.init_state(500, n_max, p, seed=42)
-    print(f"init: {time.perf_counter()-t0:.1f}s engine={engine}", flush=True)
+    state, cells, engine = B.init_state(500, tier0, p, seed=42)
+    print(f"init: {time.perf_counter()-t0:.1f}s tier={tier0} "
+          f"engine={engine}", flush=True)
     frame = B.make_frame(p, engine, substeps=11)
 
     force = B.make_force(p)
@@ -57,7 +105,7 @@ def main():
             X, old_v, aux = heun_step(
                 engine, force, B.friction_w_neighbour, None, "com",
                 X, old_v, n, jnp.float32(p.dt), jnp.float32(p.r_max),
-                jnp.int32(0), None, B.polarity_precompute)
+                jnp.int32(0), None, B.precompute)
             return (X, old_v), None
         (X, old_v), _ = jax.lax.scan(body, (X, old_v), None, length=11)
         return X, old_v
@@ -85,12 +133,31 @@ def main():
               f"{t_heun*1e3:8.1f} ms | prolif-only(11) {t_prol*1e3:8.1f} ms",
               flush=True)
 
-    # late-run population: grow a relaxed ball at n_late on the same engine
+    # late-run population on the FINAL tier (the regime the recorded
+    # ~2.5-3 s/frame floor was measured in)
+    tier_late = B.next_tier(n_late, n_max)
+    engine_late = B.default_engine(tier_late, tier_late, p)
     t0 = time.perf_counter()
-    state2, cells2, _ = B.init_state(n_late, n_max, p, seed=7, engine=engine)
-    print(f"late init: {time.perf_counter()-t0:.1f}s", flush=True)
-    t_frame = timeit(lambda s: frame(s, jnp.float32(0.5))[0].X.x, state2)
-    t_heun = timeit(heun_only, state2.X, state2.old_v, state2.n, state2.key)
+    state2, cells2 = _late_state(n_late, tier_late, p, engine_late)
+    print(f"late init: {time.perf_counter()-t0:.1f}s tier={tier_late} "
+          f"engine={engine_late}", flush=True)
+    frame_late = B.make_frame(p, engine_late, substeps=11)
+
+    @jax.jit
+    def heun_late(X, old_v, n, key):
+        def body(carry, _):
+            X, old_v = carry
+            X, old_v, aux = heun_step(
+                engine_late, force, B.friction_w_neighbour, None, "com",
+                X, old_v, n, jnp.float32(p.dt), jnp.float32(p.r_max),
+                jnp.int32(0), None, B.precompute)
+            return (X, old_v), None
+        (X, old_v), _ = jax.lax.scan(body, (X, old_v), None, length=11)
+        return X, old_v
+
+    t_frame = timeit(lambda s: frame_late(s, jnp.float32(0.5))[0].X.x,
+                     state2)
+    t_heun = timeit(heun_late, state2.X, state2.old_v, state2.n, state2.key)
     t_prol = timeit(prolif_only, state2)
     print(f"[n={n_late}] frame {t_frame*1e3:8.1f} ms | heun-only(11) "
           f"{t_heun*1e3:8.1f} ms | prolif-only(11) {t_prol*1e3:8.1f} ms",
@@ -123,7 +190,7 @@ def main():
     shutil.rmtree("/tmp/diagf", ignore_errors=True)
 
     # errs readback pattern from examples/branching.py (one float() per key)
-    st, errs = frame(state2, jnp.float32(0.5))
+    st, errs = frame_late(state2, jnp.float32(0.5))
     jax.block_until_ready(st.n); np.asarray(st.n)
     t0 = time.perf_counter()
     for _ in range(3):
