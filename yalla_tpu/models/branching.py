@@ -283,8 +283,17 @@ def default_engine(n_now, n_max, p: Params = Params(), extent=None,
         extent = max(n_max, 1) ** (1 / 3) * 0.8 / 2
         margin = 4.0
     pallas = jax.default_backend() == "tpu"
-    # with extras the capacity tracks the TYPICAL occupancy (kernel cost
-    # ~ C^2); the worst cubes spill into the exactly-handled side list
+    # An actively DIVIDING tissue packs ~15 cells/cube around the
+    # division zones (daughters placed at mean_distance/4 of the parent
+    # are nearly co-located until the mechanics spread them), so the
+    # settled-occupancy C=8 preset fails on every growth tier: the
+    # round-5 flagship log shows 7 reactive resize+recompile cycles
+    # (~3-5 min each through the tunnel), every one landing on C=12-16
+    # -- including IMMEDIATELY after the jump onto the 262144 tier.
+    # Plan for the division regime up front; a model run that stays
+    # settled should size its own engine (the bench does).  The extras
+    # side list still absorbs the worst division bursts past C.
+    max_occ = max(max_occ, 15)
     gs, C = pick_lattice_dims(extent + margin, p.r_max,
                               max_occ - 2 if pallas else max_occ)
     return LatticeEngine(grid_size=gs, capacity=C, z_block=2, pallas=pallas,
