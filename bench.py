@@ -474,19 +474,25 @@ def build(n_cells, seed=0):
     # C^2 lane saving against the per-block sidecar work.
     zb, yb = 2, 16
 
-    def make_run(ms, e_scale=1, min_C=0, x_split=1):
+    def make_run(ms, e_scale=1, min_C=0, x_split=1, e_b_cap=0):
         """Cost-optimal run over candidate cube margins ``ms``; callable
         again with a measured-closure-sized margin (see measure()'s
         certification ladder), an escalated extras headroom (``e_scale``,
         when a probe overflows the sidecar), or a raised capacity floor
         (``min_C``, when a probe drops cells even with extras).
         ``x_split=2`` plans thin x-cubes (half the capacity, ~1.35x fewer
-        kernel shifts) -- per-pass cadences only."""
+        kernel shifts) -- per-pass cadences only.  ``e_b_cap`` clamps the
+        planner's per-block sidecar table (its default is 2x the measured
+        spill; the kernel charges ~2.2 force evals per slot, so at the
+        settled 500k plan e_b 32 -> 16 is ~10% of the modelled lane
+        work) -- the probe's extras flags certify the tighter table."""
         best = _plan_lattice(X, n_cells, p.r_max, ms, pallas, zb, yb,
                              e_scale, min_C, x_split)
         if best is None:
             return None
         _, m, gs, C, max_occ, extent, n_e, e_b = best
+        if e_b_cap and e_b > e_b_cap:
+            e_b = max(8, -(-int(e_b_cap) // 8) * 8)
         cube = p.r_max * m
         extras_cap = E_CAP if e_b else 0
         print(f"# bench config: n={n_cells} extent={extent:.1f} "
@@ -539,6 +545,8 @@ def build(n_cells, seed=0):
         run.plan_cost = float(best[0])
         run.spec = {"ms": [float(m)], "e_scale": int(e_scale),
                     "min_C": int(min_C), "x_split": int(x_split)}
+        if e_b_cap:
+            run.spec["e_b_cap"] = int(e_b_cap)
         return run
 
     return make_run((1.1, 1.2, 1.3) if REBUILD_EVERY > 1
@@ -595,7 +603,7 @@ def build_sorting(n_cells, seed=0):
                                       r_max, seed)
     zb, yb = 2, 16
 
-    def make_run(ms, e_scale=1, min_C=0):
+    def make_run(ms, e_scale=1, min_C=0, e_b_cap=0):
         # same cost-model planner as the 500k builder: the compact
         # adhesive tissue's occupancy histogram is long-tailed (typical
         # ~10, max ~20), so overflow extras cut C from the worst cube's
@@ -605,6 +613,8 @@ def build_sorting(n_cells, seed=0):
         if best is None:
             return None
         _, m, gs, C, max_occ, extent, n_e, e_b = best
+        if e_b_cap and e_b > e_b_cap:
+            e_b = max(8, -(-int(e_b_cap) // 8) * 8)
         cube = r_max * m
         extras_cap = E_CAP if e_b else 0
         print(f"# bench config (sorting 5k-class): n={n_cells} "
@@ -641,6 +651,8 @@ def build_sorting(n_cells, seed=0):
         run.plan_cost = float(best[0])
         run.spec = {"ms": [float(m)], "e_scale": int(e_scale),
                     "min_C": int(min_C)}
+        if e_b_cap:
+            run.spec["e_b_cap"] = int(e_b_cap)
         return run
 
     # cube 1.0 stays in the candidate set even at rebuild_every > 1: the
@@ -977,7 +989,8 @@ def measure(n_cells, n_steps, seed=0, builder=None, on_certify=None,
     if winner_spec and hasattr(run0, "remake"):
         w = None
         try:
-            kw = {k: winner_spec[k] for k in ("e_scale", "min_C")
+            kw = {k: winner_spec[k] for k in ("e_scale", "min_C",
+                                              "e_b_cap")
                   if winner_spec.get(k)}
             if winner_spec.get("x_split", 1) > 1:
                 kw["x_split"] = int(winner_spec["x_split"])
@@ -1011,6 +1024,20 @@ def measure(n_cells, n_steps, seed=0, builder=None, on_certify=None,
         base = run0.remake((1.0,))
         if base is not None:
             probe_time_track(base, 1)
+            # tight-extras rung: the planner's sidecar headroom is 2x the
+            # measured spill; the kernel charges ~2.2 force evals per
+            # table slot, so halving the table is ~10% of the modelled
+            # lane work at the settled 500k plan.  The probe's extras
+            # flags certify the tighter table (density drift during the
+            # timed window is the risk the 2x default guards against).
+            for cap in (16, 24):
+                if _expired() or base.config["extras_block_cap"] <= cap:
+                    break
+                tight = run0.remake((1.0,), e_b_cap=cap)
+                if tight is None or tight.config == base.config:
+                    break
+                if probe_time_track(tight, 1) is None:
+                    break  # certified; no need for the looser cap
         if rebuild0 == 1:
             probe_time_track(run0, 1)
         probe_time_track(run0, 1, rebin="pass")
