@@ -7,18 +7,27 @@ measures where each frame goes under the tier-scheduled loop the
 example actually runs now: at the seed state on its own tier and at a
 late-run population on the final tier.
 
-Round-5 measurement (one v5e chip via tunnel, tiers 4096 / 262144):
+Round-5 measurement (one v5e chip via tunnel, tiers 4096 / 262144),
+under the division-regime engine presets (occupancy floor 15 -> C=14 at
+the 262144 tier; the earlier C=8-preset numbers in git history measured
+858.9 ms/frame but hit 8 reactive resize+recompile cycles over a full
+run):
 
-  [n=500 seed]  frame 129.6 ms | prolif-only(11)  76.8 ms
-  [n=150000]    frame 858.9 ms | prolif-only(11) 104.3 ms
-  write 6 arrays/frame: 720 ms sync / 966 ms via the async worker
-  (pull+format with no compute to hide behind), errs readback 9 ms
+  [n=500 seed]  frame  110.6 ms | heun-only(11)  346.3 ms | prolif  74.9 ms
+  [n=150000]    frame 1615.2 ms | heun-only(11) 2052.3 ms | prolif 117.2 ms
+  write 6 arrays/frame: 449 ms sync / 767 ms via the async worker
+  (pull+format with no compute to hide behind), errs readback 31 ms
 
 i.e. the floor was the un-tiered engine, not dispatch or I/O: late
-frames are ~0.86 s of device compute (= the kernel-rate prediction for
-11 substeps at this tier) + a ~0.7-1.0 s host transfer+write that the
-async worker overlaps with the next frame's compute.  Expected cadence
-at 150k is therefore ~1 s/frame; BASELINE.md records the end-to-end run.
+frames are ~1.6 s of device compute -- BELOW the 11-substep heun-only
+kernel-rate measurement at this tier (the fused frame scan overlaps
+better than the separately-jitted heun loop) -- plus a ~0.5-0.8 s host
+transfer+write that the async worker overlaps with the next frame's
+compute.  The C=14 division-regime capacity is the remaining premium
+over the settled-bench C=8 plan (~1.9x modelled lane work), paid to
+keep a GROWING tissue resize-free: the round-5 end-to-end run holds
+~1 s/frame mid-run and finished 500 frames with ZERO reactive resizes
+(BASELINE.md row).
 
 Usage: python benchmarks/diag_flagship.py [n_max] [n_late]
 """
