@@ -1024,20 +1024,29 @@ def measure(n_cells, n_steps, seed=0, builder=None, on_certify=None,
         base = run0.remake((1.0,))
         if base is not None:
             probe_time_track(base, 1)
-            # tight-extras rung: the planner's sidecar headroom is 2x the
-            # measured spill; the kernel charges ~2.2 force evals per
-            # table slot, so halving the table is ~10% of the modelled
-            # lane work at the settled 500k plan.  The probe's extras
-            # flags certify the tighter table (density drift during the
-            # timed window is the risk the 2x default guards against).
-            for cap in (16, 24):
+            # tight-extras rungs: the planner's sidecar headroom is 2x
+            # the measured spill; the kernel charges ~2.2 force evals
+            # per table slot, so every 8 slots trimmed is ~5% of the
+            # modelled lane work at the settled 500k plan.  The probe's
+            # extras flags certify the tighter table (density drift
+            # during the timed window is the risk the 2x default guards
+            # against).  Loosest cap first -- spill overflow is monotone
+            # in the cap, so a flagged 24 means 16 would flag too; and a
+            # flagged probe's in-place escalation can certify a LOOSER
+            # fallback (probe_time_track returns None for it), so check
+            # which config actually landed before tightening further.
+            for cap in (24, 16):
                 if _expired() or base.config["extras_block_cap"] <= cap:
                     break
                 tight = run0.remake((1.0,), e_b_cap=cap)
                 if tight is None or tight.config == base.config:
                     break
-                if probe_time_track(tight, 1) is None:
-                    break  # certified; no need for the looser cap
+                probe_time_track(tight, 1)
+                if not (records and records[-1]["cfg"].get(
+                        "extras_block_cap")
+                        == tight.config["extras_block_cap"]):
+                    break  # rung flagged (or only a looser escalation
+                    # certified); a tighter cap cannot do better
         if rebuild0 == 1:
             probe_time_track(run0, 1)
         probe_time_track(run0, 1, rebin="pass")
