@@ -13,6 +13,20 @@ rebuild) with each blocking; prints ms/step.  y_block is not part of the
 engine surface (DEFAULT_Y_BLOCK is module state), so this monkeypatches
 it around each build -- a diagnostic-only maneuver.
 
+Round-5 result (one v5e chip, settled 500k state, 32 steps): the
+default is already the optimum --
+
+  zb=2 yb=16: 108.4 ms/step   zb=4 yb=16: 113.7 (+4.9%)
+  zb=2 yb=8 : 108.4           zb=4 yb=8 : 113.0 (+4.2%)
+  zb=2 yb=32: 109.0 (+0.6%)   zb=8 yb=16: flagged (__err_extras_block:
+                              3 -- the per-block spill table aggregates
+                              over the whole block; 8x16 rows collect
+                              more than 32 spilled cells)
+
+y-blocking is insensitive (halo amortization ~ cancels skip
+granularity); z-blocks beyond 2 lose real skip granularity on the ball.
+RACE CLOSED: (2, 16) stays the default.
+
 Usage (TPU host): python benchmarks/diag_block_sweep.py [n_steps]
 """
 import os
