@@ -10,6 +10,13 @@ what a tighter cap would actually buy (and whether the probe flags it),
 racing e_b in {32, 24, 16} on the committed settled state at the
 winning per-pass-rebuild cadence.
 
+OUTCOME (round 5): superseded by the bench's own tight-extras rungs
+(bench.py measure(), loosest cap first) -- e_b=24 certified at
+4.69-4.72e6 cell-steps/s (+2-3% over the 32-cap plan) and is the
+persisted 500k winner (bench_state.json); e_b=16 honestly flags
+(__err_extras_block: 11 -- mid-window density drift pushes some
+block's spill past 16).  Kept for one-off re-measurement.
+
 Run on the TPU host: python benchmarks/diag_extras_cost.py [n_steps]
 """
 import os
