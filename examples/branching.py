@@ -212,10 +212,10 @@ def main():
     node_type.h_prop[:n_tree] = np.asarray(lin.node_type)[:n_tree]
     nparent = np.asarray(lin.node_parent)
     cparent = np.asarray(lin.cell_parent)
-    for i in range(n_tree):
-        if nparent[i] >= 0:
-            branches.h_a[i] = i
-            branches.h_b[i] = nparent[i]
+    idx = np.arange(n_tree)
+    m = nparent[:n_tree] >= 0
+    branches.h_a[:n_tree][m] = idx[m]
+    branches.h_b[:n_tree][m] = nparent[:n_tree][m]
     sl = slice(n_tree, total)
     tree.h_X.x[sl] = h.x[:n_cells_final]
     tree.h_X.y[sl] = h.y[:n_cells_final]
@@ -223,10 +223,10 @@ def main():
     node_clone.h_prop[sl] = np.asarray(lin.cell_clone)[:n_cells_final]
     node_time.h_prop[sl] = 1.0
     node_type.h_prop[sl] = np.asarray(h.ctype[:n_cells_final]).astype(np.int32)
-    for i in range(n_cells_final):
-        if cparent[i] >= 0:
-            branches.h_a[n_tree + i] = n_tree + i
-            branches.h_b[n_tree + i] = cparent[i]
+    ci = np.arange(n_cells_final)
+    cm = cparent[:n_cells_final] >= 0
+    branches.h_a[sl][cm] = n_tree + ci[cm]
+    branches.h_b[sl][cm] = cparent[:n_cells_final][cm]
     tree.h_n = total
     branches.h_n = total
     tree.copy_to_device()
