@@ -23,7 +23,9 @@ from yalla_tpu.ops.lattice_xla import lattice_grid_for  # noqa: E402
 n_cells = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 C = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-NC = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+# 20 is the certified BASELINE.md config; 16 overflows __err_gabriel_
+# candidates on this geometry (the in-loop flag aborts the run)
+NC = int(sys.argv[4]) if len(sys.argv) > 4 else 20
 
 try:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
